@@ -1,0 +1,206 @@
+"""Unified configuration for SIGMAN-TPU.
+
+Replaces the reference's three config systems (tyro dataclasses in
+``core/model_config/VAE.py`` / ``core/model_config/DiT_DDPM.py``, OmegaConf for
+proj_UV, and the accelerate YAML) with one frozen dataclass plus named presets
+and a tiny ``--flag value`` CLI override parser.
+
+Field semantics follow the reference presets: ``vae_b`` (input 512, splat 128,
+10 views / 6 input — /root/reference/core/model_config/VAE.py:113-127) and
+``DiT`` (d=2048, 30 layers, latent 16x64x64, patch 2 —
+/root/reference/core/model_config/DiT_DDPM.py:46-57,151-160).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- model / image sizes -------------------------------------------------
+    input_size: int = 512           # encoder input resolution (H == W)
+    splat_size: int = 128           # UV gaussian-map resolution fed to grid-sample
+    output_size: int = 512          # render / supervision resolution
+    latent_channels: int = 16       # VAE latent channels (16 x 64 x 64 latent)
+    vae_out_channels: int = 64      # decoder UV feature channels
+    self_attention_layers: int = 6  # bottleneck self-attn depth
+    encoder_channels: Tuple[int, ...] = (128, 256, 256, 512)
+    bottleneck_dim: int = 512       # UV-query token width
+    uv_query_size: int = 64         # learned UV-query grid (64x64 tokens)
+
+    # ---- DiT -----------------------------------------------------------------
+    num_attention_heads: int = 32
+    attention_head_dim: int = 64    # d_model = 32 * 64 = 2048
+    num_layers: int = 30
+    patch_size: int = 2
+    sample_height: int = 64         # latent spatial dims
+    sample_width: int = 64
+    in_channels: int = 16
+    out_channels: int = 16
+    text_embed_dim: int = 1536      # Sapiens feature channels
+    max_text_seq_length: int = 256  # conditioning tokens
+    time_embed_dim: int = 512
+    timestep_activation_fn: str = "silu"
+    vae_scaling_factor: float = 0.6909025648433997
+    use_rotary_positional_embeddings: bool = True
+    noised_condition_dropout: float = 0.05
+    condition_mode: str = "patch"
+
+    # ---- cameras / rendering -------------------------------------------------
+    fovy: float = 0.8712626851529752
+    fovx: float = 0.8712626851529752
+    znear: float = 0.1
+    zfar: float = 100.0
+    cam_radius: float = 1.5
+    num_views: int = 10
+    num_input_views: int = 6
+    scale_modifier: float = 0.5     # matches reference rasterizer settings
+    tile_size: int = 32             # pallas rasterizer logical tile (32x32 px)
+    max_tiles_per_gaussian: int = 36
+
+    # ---- diffusion sampling --------------------------------------------------
+    num_train_timesteps: int = 1000
+    num_inference_steps: int = 30
+    guidance_scale: float = 3.5
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    prediction_type: str = "v_prediction"
+    rescale_betas_zero_snr: bool = True
+    timestep_spacing: str = "trailing"
+    snr_shift_scale: float = 1.0
+
+    # ---- losses --------------------------------------------------------------
+    lambda_lpips: float = 1.0
+    lambda_kl: float = 1e-6
+    lambda_face: float = 5.0
+    disc_factor: float = 1.0
+    disc_weight: float = 1000.0
+    disc_start: int = 50_000_000
+
+    # ---- training ------------------------------------------------------------
+    workspace: str = "./workspace"
+    resume: Optional[str] = None
+    batch_size: int = 1
+    gradient_accumulation_steps: int = 1
+    num_epochs: int = 100
+    gradient_clip: float = 1.0
+    lr: float = 3e-6
+    lr_scheduler: str = "cosine"
+    lr_warmup_steps: int = 2000
+    mixed_precision: str = "bf16"
+    gradient_checkpointing: bool = True
+    seed: int = 0
+    save_ckpt_steps: int = 200
+    eval_steps: int = 3000
+    log_every: int = 10
+
+    # ---- data ----------------------------------------------------------------
+    data_root: str = "./data"
+    train_list: str = "./data/train_VAE.npy"
+    num_workers: int = 8
+    prob_grid_distortion: float = 0.5
+    prob_cam_jitter: float = 0.5
+    synthetic_data: bool = False    # procedural fixture data (no HGS-1M needed)
+
+    # ---- assets --------------------------------------------------------------
+    template_dir: str = "./assets/template"
+    smplx_model_path: Optional[str] = None   # SMPLX_NEUTRAL.npz etc.
+    vae_path: str = "./ckpt/autoencoder/autoencoder.safetensors"
+    dit_path: str = "./ckpt/transformer/transformer.safetensors"
+    gender: str = "neutral"
+
+    # ---- parallelism ---------------------------------------------------------
+    mesh_shape: Tuple[int, ...] = (-1,)        # -1: all devices on the axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+    shard_gaussians: bool = False              # shard splat tiles across chips
+
+    @property
+    def hidden_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @property
+    def num_patches(self) -> int:
+        return (self.sample_height // self.patch_size) * (
+            self.sample_width // self.patch_size
+        )
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# ---- named presets (mirror the reference's subcommands) ----------------------
+
+PRESETS = {
+    "vae_s": Config(input_size=256, splat_size=128, output_size=512, num_views=8,
+                    num_input_views=4, num_epochs=250),
+    "vae_b": Config(input_size=512, splat_size=128, output_size=512, num_views=10,
+                    num_input_views=6, num_epochs=100),
+    "dit": Config(input_size=512, splat_size=128, output_size=512, num_views=10,
+                  num_input_views=6, num_epochs=100, batch_size=8, lr=1e-4),
+    # small configs for tests / CI — not in the reference
+    "test_tiny": Config(input_size=64, splat_size=32, output_size=64, num_views=3,
+                        num_input_views=2, latent_channels=4, vae_out_channels=16,
+                        self_attention_layers=1, encoder_channels=(8, 16, 16, 32),
+                        bottleneck_dim=32, uv_query_size=8, num_attention_heads=2,
+                        attention_head_dim=16, num_layers=2, sample_height=8,
+                        sample_width=8, in_channels=4, out_channels=4,
+                        text_embed_dim=32, max_text_seq_length=8, time_embed_dim=32,
+                        batch_size=1, synthetic_data=True),
+}
+
+
+def parse_cli(argv: Optional[list] = None, default_preset: str = "vae_b") -> Config:
+    """``prog [preset] --flag value ...`` -> Config.
+
+    Mirrors the reference CLI shape (``train_vae.py vae_b --batch_size 8``)
+    without the tyro dependency. Values are parsed with the field's type.
+    """
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    preset = default_preset
+    if argv and not argv[0].startswith("-"):
+        preset = argv.pop(0)
+    if preset not in PRESETS:
+        raise SystemExit(f"unknown preset {preset!r}; choose from {sorted(PRESETS)}")
+    cfg = PRESETS[preset]
+
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    overrides = {}
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if not arg.startswith("--"):
+            raise SystemExit(f"unexpected argument {arg!r}")
+        name = arg[2:].replace("-", "_")
+        if "=" in name:
+            name, raw = name.split("=", 1)
+            i += 1
+        else:
+            if name not in fields:
+                raise SystemExit(f"unknown flag --{name}")
+            if i + 1 >= len(argv):
+                raise SystemExit(f"--{name} needs a value")
+            raw = argv[i + 1]
+            i += 2
+        if name not in fields:
+            raise SystemExit(f"unknown flag --{name}")
+        overrides[name] = _coerce(raw, fields[name].type, getattr(cfg, name))
+    return cfg.replace(**overrides)
+
+
+def _coerce(raw: str, annot, current):
+    if isinstance(current, bool) or annot in ("bool", bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, tuple):
+        elem = type(current[0]) if current else int
+        return tuple(elem(x) for x in raw.strip("()").split(","))
+    return raw

@@ -1,0 +1,213 @@
+"""Pallas TPU backward kernel: analytic VJP of the tile compositing pass.
+
+Atomics-free by construction (SURVEY.md §7 hard part 1): gradients are written
+at *pair* granularity — each (gaussian, tile) pair owns one row of the output
+buffer inside its tile's chunk-aligned segment, so no two grid programs ever
+write the same row. The pair-level gradients are then scatter-added back to
+per-Gaussian gradients by the autodiff VJP of the binning gather (plain XLA).
+
+Math: replaying front-to-back with the suffix trick. With
+``u_k = dL/dw_k = g_rgb . c_k + g_depth * depth_k`` and
+``TOT = sum_j u_j w_j = g_rgb . rgb_out + g_depth * depth_out`` (computable
+per-pixel from the forward outputs alone),
+
+    dL/dalpha_k = mask_k * [ u_k T_excl_k
+                             - (TOT - prefix_{j<=k} u_j w_j - g_alpha * Tr)
+                               / (1 - alpha_k) ]
+
+which needs only a running prefix accumulator — no back-to-front pass, unlike
+the CUDA implementation's reverse traversal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sigman_release_tpu.ops.rasterizer.binning import (
+    F_CA, F_CB, F_CC, F_DEPTH, F_MX, F_MY, F_OPA, F_R, PAIR_FEATS,
+)
+from sigman_release_tpu.ops.rasterizer.pallas_forward import (
+    PX, _chunk_alpha, _cumsum0, _pixel_coords,
+)
+
+T_EPS = 1e-4
+
+
+def _backward_kernel(
+    start_ref, count_ref,            # scalar-prefetch
+    pairs_hbm,                       # [P_aligned, 16] f32, ANY
+    fwd_ref,                         # [1, 8, PX] forward tile buffer, VMEM
+    grad_ref,                        # [1, 8, PX] upstream grads, VMEM
+    dpairs_hbm,                      # out: [P_aligned, 16] f32, ANY
+    chunk_vmem, dchunk_vmem, dma_sem, out_sem,
+    *, ntx_per_view, tiles_per_view, chunk,
+):
+    t = pl.program_id(0)
+    tile_in_view = t % tiles_per_view
+    start = start_ref[t]
+    count = count_ref[t]
+    px, py = _pixel_coords(tile_in_view, ntx_per_view)
+
+    g_r = grad_ref[0, 0:1, :]
+    g_g = grad_ref[0, 1:2, :]
+    g_b = grad_ref[0, 2:3, :]
+    g_d = grad_ref[0, 3:4, :]
+    g_a = grad_ref[0, 4:5, :]
+    rgb_r = fwd_ref[0, 0:1, :]
+    rgb_g = fwd_ref[0, 1:2, :]
+    rgb_b = fwd_ref[0, 2:3, :]
+    dep_o = fwd_ref[0, 3:4, :]
+    Tr = fwd_ref[0, 5:6, :]
+
+    # per-pixel total weighted-grad sum + final-T path (g_alpha acts on 1 - Tr)
+    tot = g_r * rgb_r + g_g * rgb_g + g_b * rgb_b + g_d * dep_o
+    tail_const = g_a * Tr                                # enters with - sign
+
+    n_chunks = pl.cdiv(count, chunk)
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def body(state):
+        c, Tf, prefix = state
+        cp = pltpu.make_async_copy(
+            pairs_hbm.at[pl.ds(start + c * chunk, chunk), :], chunk_vmem, dma_sem
+        )
+        cp.start()
+        cp.wait()
+        feats = chunk_vmem[:, :]
+        row_ok = row < (count - c * chunk)
+        alpha, gexp, dx, dy, unclamped = _chunk_alpha(feats, px, py, row_ok)
+
+        one_m = 1.0 - alpha
+        lg = jnp.log(one_m)
+        cum_incl = _cumsum0(lg)
+        t_incl = Tf * jnp.exp(cum_incl)
+        t_excl = Tf * jnp.exp(cum_incl - lg)
+        contrib = t_incl >= T_EPS
+        w = jnp.where(contrib, alpha * t_excl, 0.0)      # [K,PX]
+
+        cols = feats[:, F_R:F_R + 3]
+        g_rgb = jnp.concatenate([g_r, g_g, g_b], axis=0)  # [3,PX]
+        u = jax.lax.dot_general(                          # [K,PX]
+            cols, g_rgb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + feats[:, F_DEPTH:F_DEPTH + 1] * g_d
+        uw = u * w
+        pref_incl = prefix + _cumsum0(uw)                 # [K,PX]
+        suffix = tot - pref_incl                          # sum over j > k
+        d_alpha = jnp.where(
+            contrib,
+            u * t_excl - (suffix - tail_const) / one_m,
+            0.0,
+        )
+
+        # chain to pair parameters; clamp & floor rules gate the gradient
+        live = (alpha > 0.0) & unclamped
+        d_pow = jnp.where(live, d_alpha * alpha, 0.0)     # dalpha/dpower = alpha
+        d_opa_px = jnp.where(live, d_alpha * gexp, 0.0)
+
+        ca = feats[:, F_CA:F_CA + 1]
+        cb = feats[:, F_CB:F_CB + 1]
+        cc = feats[:, F_CC:F_CC + 1]
+        d_mx = jnp.sum(d_pow * (-(ca * dx + cb * dy)), axis=1)
+        d_my = jnp.sum(d_pow * (-(cc * dy + cb * dx)), axis=1)
+        d_ca = jnp.sum(d_pow * (-0.5 * dx * dx), axis=1)
+        d_cb = jnp.sum(d_pow * (-dx * dy), axis=1)
+        d_cc = jnp.sum(d_pow * (-0.5 * dy * dy), axis=1)
+        d_opa = jnp.sum(d_opa_px, axis=1)
+        d_col = jax.lax.dot_general(                      # [K,3]
+            w, g_rgb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_dep = jnp.sum(w * g_d, axis=1)
+
+        zeros = jnp.zeros_like(d_mx)
+        dchunk_vmem[:, :] = jnp.stack(
+            [d_mx, d_my, d_ca, d_cb, d_cc,
+             d_col[:, 0], d_col[:, 1], d_col[:, 2], d_opa, d_dep,
+             zeros, zeros, zeros, zeros, zeros, zeros],
+            axis=-1,
+        )
+        out_cp = pltpu.make_async_copy(
+            dchunk_vmem, dpairs_hbm.at[pl.ds(start + c * chunk, chunk), :], out_sem
+        )
+        out_cp.start()
+        out_cp.wait()
+
+        return (c + 1, t_incl[-1:, :], pref_incl[-1:, :])
+
+    def cond(state):
+        c, Tf, _ = state
+        return (c < n_chunks) & (jnp.max(Tf) >= T_EPS)
+
+    init = (jnp.int32(0), jnp.ones((1, PX), jnp.float32),
+            jnp.zeros((1, PX), jnp.float32))
+    c_end, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # zero the grad rows of chunks skipped by early termination
+    def zero_body(state):
+        c = state
+        dchunk_vmem[:, :] = jnp.zeros((chunk, PAIR_FEATS), jnp.float32)
+        out_cp = pltpu.make_async_copy(
+            dchunk_vmem, dpairs_hbm.at[pl.ds(start + c * chunk, chunk), :], out_sem
+        )
+        out_cp.start()
+        out_cp.wait()
+        return c + 1
+
+    jax.lax.while_loop(lambda c: c < n_chunks, zero_body, c_end)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntx_per_view", "tiles_per_view", "chunk", "interpret"),
+)
+def backward_tiles(
+    pair_feats: jnp.ndarray,    # [P_aligned, 16]
+    tile_start: jnp.ndarray,    # [n_programs]
+    tile_count: jnp.ndarray,
+    fwd_tiles: jnp.ndarray,     # [n_programs, 8, PX] forward outputs
+    grad_tiles: jnp.ndarray,    # [n_programs, 8, PX] upstream grads
+    *,
+    ntx_per_view: int,
+    tiles_per_view: int,
+    chunk: int = 128,
+    interpret: bool = False,
+):
+    """Returns d(pair_feats) [P_aligned, 16]."""
+    n_programs = fwd_tiles.shape[0]
+    kernel = functools.partial(
+        _backward_kernel,
+        ntx_per_view=ntx_per_view,
+        tiles_per_view=tiles_per_view,
+        chunk=chunk,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_programs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 8, PX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, PX), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, PAIR_FEATS), jnp.float32),
+            pltpu.VMEM((chunk, PAIR_FEATS), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(pair_feats.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_start, tile_count, pair_feats, fwd_tiles, grad_tiles)
