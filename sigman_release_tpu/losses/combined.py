@@ -1,0 +1,114 @@
+"""Combined VAE training loss (L1 + LPIPS + KL + hinge GAN).
+
+Functional equivalent of the reference's LPIPSWithDiscriminator
+(/root/reference/core/loss/whole_loss.py:57-201). The torch version branches
+on ``optimizer_idx``; here the generator and discriminator objectives are two
+pure functions so the trainer can alternate them by step parity inside one
+jitted train step (SURVEY.md §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sigman_release_tpu.config import Config
+from sigman_release_tpu.losses.gan import hinge_d_loss, hinge_g_loss
+from sigman_release_tpu.models.vae import DiagonalGaussian
+
+
+def _resize_for_lpips(x, size):
+    """[N,3,H,W] -> [N,3,size,size] bilinear (LPIPS input crop size)."""
+    n, c, h, w = x.shape
+    x = jnp.moveaxis(x, 1, -1)
+    x = jax.image.resize(x, (n, size, size, c), method="bilinear")
+    return jnp.moveaxis(x, -1, 1)
+
+
+class VAELoss:
+    """Stateless loss orchestrator; lpips/discriminator applies are injected
+    so parameter handling stays in the trainer."""
+
+    def __init__(self, cfg: Config, lpips_apply=None, disc_apply=None):
+        self.cfg = cfg
+        self.lpips_apply = lpips_apply
+        self.disc_apply = disc_apply
+
+    def generator(
+        self,
+        outputs: Dict[str, jnp.ndarray],
+        posterior: DiagonalGaussian,
+        global_step: jnp.ndarray,
+        logvar: jnp.ndarray,
+        lpips_params=None,
+        disc_params=None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        pred = outputs["images_pred"]   # [B,V,3,H,W]
+        gt = outputs["images_gt"]
+        masks = outputs["masks_gt"]     # [B,V,1,H,W]
+
+        b, v = pred.shape[:2]
+        pred_f = pred.reshape(b * v, *pred.shape[2:])
+        gt_f = gt.reshape(b * v, *gt.shape[2:])
+        m_f = masks.reshape(b * v, *masks.shape[2:])
+
+        loss_l1 = jnp.mean(jnp.abs(pred_f * m_f - gt_f * m_f))
+
+        if cfg.lambda_lpips > 0 and self.lpips_apply is not None:
+            lp = self.lpips_apply(
+                lpips_params,
+                _resize_for_lpips(gt_f, cfg.lpips_size) * 2.0 - 1.0,
+                _resize_for_lpips(pred_f, cfg.lpips_size) * 2.0 - 1.0,
+            )
+            loss_lpips = jnp.mean(lp)
+        else:
+            loss_lpips = jnp.float32(0.0)
+
+        loss_rec = loss_l1 + cfg.lambda_lpips * loss_lpips
+        nll = loss_rec / jnp.exp(logvar) + logvar
+
+        loss_kl = jnp.mean(posterior.kl()) * cfg.lambda_kl
+
+        if self.disc_apply is not None:
+            logits_fake = self.disc_apply(disc_params, pred)
+            g_loss = hinge_g_loss(logits_fake)
+        else:
+            g_loss = jnp.float32(0.0)
+        # step-gated GAN weight (adopt_weight + d_weight, whole_loss.py:159-178);
+        # jnp.where keeps the pre-disc_start phase nan-safe
+        gate = global_step >= cfg.disc_start
+        gan_term = jnp.where(
+            gate, cfg.disc_weight * cfg.disc_factor * g_loss, 0.0
+        )
+
+        loss = nll + loss_kl + gan_term
+        logs = {
+            "L1": loss_l1,
+            "lpips": loss_lpips,
+            "kl": loss_kl,
+            "GAN_G": gan_term,
+            "loss": loss,
+        }
+        return loss, logs
+
+    def discriminator(
+        self,
+        outputs: Dict[str, jnp.ndarray],
+        global_step: jnp.ndarray,
+        disc_params=None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        logits_real = self.disc_apply(
+            disc_params, jax.lax.stop_gradient(outputs["images_gt"])
+        )
+        logits_fake = self.disc_apply(
+            disc_params, jax.lax.stop_gradient(outputs["images_pred"])
+        )
+        gate = global_step >= cfg.disc_start
+        d_loss = jnp.where(
+            gate, cfg.disc_factor * hinge_d_loss(logits_real, logits_fake), 0.0
+        )
+        return d_loss, {"GAN_D": d_loss}

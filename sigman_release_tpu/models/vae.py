@@ -1,0 +1,400 @@
+"""UV-space Gaussian VAE (flax.linen, channels-last / NHWC — TPU native).
+
+Architecture parity with the reference's Conv_VAE + VAE wrapper
+(/root/reference/core/modules/autoencoder.py:18-497, vae_utils.py):
+
+* encoder: 3D conv stack over (V, H, W) — conv_in + 4 DownBlock3D
+  (channels 128/256/256/512, 2 resnets each, stride-2 spatial downsample
+  between blocks) taking the 9-channel input (RGB + Plucker) to
+  (B, V, H/8, W/8, 512) tokens,
+* UV-query bottleneck: learned 64x64 query grid concat a conv encoding of
+  the initial UV albedo, sincos position table, one cross-attention over the
+  encoder tokens then N conv||self-attention blocks,
+* linear projection to 2*latent channels -> DiagonalGaussian,
+* decoder: 2D conv stack (conv_in + 4 UpBlock2D, channels 1024/512/512/256,
+  3 resnets each, x2 nearest upsample between) from the 64x64 latent to the
+  out_channels UV feature map at input resolution,
+* heads: 3x3 convs geo (10ch: opacity1+offset3+scale3+rot3) and rgb (3ch);
+  activations sigmoid everywhere, scale=(s-0.5)*2, rot=(s-0.5)*pi
+  (autoencoder.py:292-309).
+
+Differences by design (TPU): channels-last layouts, no SafeConv3d chunking
+(XLA tiles convs itself), attention via jnp einsum/SDPA, explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigman_release_tpu.config import Config
+from sigman_release_tpu.ops.grid_sample import grid_sample_2d
+from sigman_release_tpu.ops.rotations import rodrigues
+
+
+def _num_groups(channels: int, cap: int = 32) -> int:
+    """Largest divisor of ``channels`` that is <= cap (GroupNorm groups)."""
+    return math.gcd(cap, channels)
+
+
+class _GN(nn.Module):
+    """GroupNorm with channel-aware group count (small test configs)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=_num_groups(x.shape[-1]),
+                            epsilon=1e-6)(x)
+
+
+def _gn():
+    return _GN()
+
+
+class ResnetBlock(nn.Module):
+    """GN -> SiLU -> conv -> GN -> SiLU -> conv with 1x1 shortcut; 2D or 3D."""
+
+    out_channels: int
+    dims: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        k = (3,) * self.dims
+        h = _gn()(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, k, padding="SAME")(h)
+        h = _gn()(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, k, padding="SAME")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1,) * self.dims)(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """Asymmetric (0,1) pad + stride-2 conv, applied per view frame."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):  # [..., H, W, C]
+        pad = [(0, 0)] * (x.ndim - 3) + [(0, 1), (0, 1), (0, 0)]
+        x = jnp.pad(x, pad)
+        squeeze = x.ndim == 5
+        if squeeze:  # fold views into batch for the 2D conv
+            b, v, h, w, c = x.shape
+            x = x.reshape(b * v, h, w, c)
+        x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding="VALID")(x)
+        if squeeze:
+            x = x.reshape(b, v, x.shape[1], x.shape[2], x.shape[3])
+        return x
+
+
+class Encoder3D(nn.Module):
+    """conv_in + 4 DownBlock3D over (B, V, H, W, C)."""
+
+    block_channels: Sequence[int] = (128, 256, 256, 512)
+    layers_per_block: int = 2
+
+    @nn.compact
+    def __call__(self, x):  # [B, V, H, W, 9]
+        x = nn.Conv(self.block_channels[0], (3, 3, 3), padding="SAME")(x)
+        n = len(self.block_channels)
+        for i, ch in enumerate(self.block_channels):
+            for _ in range(self.layers_per_block):
+                x = ResnetBlock(ch, dims=3)(x)
+            if i < n - 1:
+                x = Downsample2D(ch)(x)
+        return x  # [B, V, H/8, W/8, C_last]
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME")(x)
+
+
+class Decoder2D(nn.Module):
+    """conv_in + 4 UpBlock2D + norm/act/conv_out (64 -> 512 spatial)."""
+
+    out_channels: int
+    block_channels: Sequence[int] = (256, 512, 512, 1024)  # forward order
+    layers_per_block: int = 3
+
+    @nn.compact
+    def __call__(self, z):  # [B, h, w, latent]
+        chans = list(reversed(self.block_channels))
+        x = nn.Conv(chans[0], (3, 3), padding="SAME")(z)
+        n = len(chans)
+        for i, ch in enumerate(chans):
+            for _ in range(self.layers_per_block):
+                x = ResnetBlock(ch, dims=2)(x)
+            if i < n - 1:
+                x = Upsample2D(ch)(x)
+        x = _gn()(x)
+        x = nn.silu(x)
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME")(x)
+
+
+def _attention(q, k, v, heads):
+    """Multi-head SDPA over [B, Nq, D] / [B, Nk, D]."""
+    b, nq, d = q.shape
+    dh = d // heads
+
+    def split(t):
+        return t.reshape(b, -1, heads, dh)
+
+    out = jax.nn.dot_product_attention(split(q), split(k), split(v))
+    return out.reshape(b, nq, d)
+
+
+class MHA(nn.Module):
+    """Attention with per-head qk layer-norm (diffusers qk_norm='layer_norm')."""
+
+    dim: int
+    heads: int
+    context_dim: Optional[int] = None
+    norm_context: bool = False
+    residual: bool = False
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        ctx = x if context is None else context
+        if self.norm_context and context is not None:
+            ctx = nn.LayerNorm()(ctx)
+        q = nn.Dense(self.dim, use_bias=False)(x)
+        k = nn.Dense(self.dim, use_bias=False)(ctx)
+        v = nn.Dense(self.dim, use_bias=False)(ctx)
+        q = nn.LayerNorm()(q.reshape(*q.shape[:-1], self.heads, -1))
+        k = nn.LayerNorm()(k.reshape(*k.shape[:-1], self.heads, -1))
+        out = jax.nn.dot_product_attention(
+            q, k, v.reshape(*v.shape[:-1], self.heads, -1)
+        )
+        out = out.reshape(*x.shape[:-1], self.dim)
+        out = nn.Dense(self.dim)(out)
+        if self.residual:
+            out = out + x
+        return out
+
+
+class ConvAttenBlock(nn.Module):
+    """Parallel conv + self-attention residual block on a token grid.
+
+    x + SiLU(GN(conv2d(x_grid) + attn(x))) — Conv_Atten_Block
+    (vae_utils.py:1242-1277).
+    """
+
+    height: int
+    width: int
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, H*W, D]
+        b = x.shape[0]
+        grid = x.reshape(b, self.height, self.width, self.dim)
+        conv_out = nn.Conv(self.dim, (3, 3), padding="SAME")(grid)
+        conv_out = conv_out.reshape(b, -1, self.dim)
+        attn_out = MHA(dim=self.dim, heads=self.heads)(x)
+        out = conv_out + attn_out
+        out = nn.GroupNorm(num_groups=_num_groups(self.dim), epsilon=1e-6)(out)
+        out = nn.silu(out)
+        return x + out
+
+
+class DiagonalGaussian(NamedTuple):
+    mean: jnp.ndarray     # [B, h, w, C]
+    logvar: jnp.ndarray
+
+    def sample(self, key):
+        std = jnp.exp(0.5 * self.logvar)
+        return self.mean + std * jax.random.normal(key, self.mean.shape)
+
+    def mode(self):
+        return self.mean
+
+    def kl(self):
+        var = jnp.exp(self.logvar)
+        return 0.5 * jnp.sum(
+            self.mean ** 2 + var - 1.0 - self.logvar,
+            axis=tuple(range(1, self.mean.ndim)),
+        )
+
+    def nll(self, sample):
+        var = jnp.exp(self.logvar)
+        return 0.5 * jnp.sum(
+            math.log(2 * math.pi) + self.logvar + (sample - self.mean) ** 2 / var,
+            axis=tuple(range(1, self.mean.ndim)),
+        )
+
+
+def sincos_table(n_pos: int, dim: int) -> np.ndarray:
+    """Classic transformer sinusoid table [n_pos, dim]."""
+    pos = np.arange(n_pos)[:, None]
+    i = np.arange(dim)[None, :]
+    angle = pos / np.power(10000.0, 2 * (i // 2) / dim)
+    table = np.where(i % 2 == 0, np.sin(angle), np.cos(angle))
+    return table.astype(np.float32)
+
+
+class ConvVAE(nn.Module):
+    """Encoder + UV-query bottleneck + decoder (Conv_VAE equivalent)."""
+
+    cfg: Config
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = Encoder3D(block_channels=c.encoder_channels)
+        d = c.encoder_channels[-1]
+        self.h = self.w = c.uv_query_size
+        self.uv_latent = self.param(
+            "uv_latent", nn.initializers.normal(1.0), (1, self.h * self.w, d)
+        )
+        self.uv_conv = nn.Conv(d, (8, 8), strides=(8, 8), padding="VALID")
+        self.uv_norm = nn.GroupNorm(num_groups=_num_groups(d), epsilon=1e-6)
+        self.pos_embedding = jnp.asarray(sincos_table(self.h * self.w, d * 2))
+        self.cross_attn = MHA(dim=2 * d, heads=8, context_dim=d,
+                              norm_context=True, residual=True)
+        self.middle = [
+            ConvAttenBlock(height=self.h, width=self.w, dim=2 * d, heads=8)
+            for _ in range(c.self_attention_layers)
+        ]
+        self.projection = nn.Dense(2 * c.latent_channels)
+        self.decoder = Decoder2D(out_channels=c.vae_out_channels)
+
+    def encode(self, x, initial_uv) -> DiagonalGaussian:
+        """x [B,V,H,W,9]; initial_uv [B,H,W,3] -> posterior over [B,h,w,Cl]."""
+        h = self.encoder(x)                               # [B,V,h,w,D]
+        b = h.shape[0]
+        d = h.shape[-1]
+        tokens = h.reshape(b, -1, d)
+        # context projection for cross attention needs the key dim = 2d?
+        uv = self.uv_conv(initial_uv)
+        uv = nn.silu(self.uv_norm(uv)).reshape(b, -1, d)
+        query = jnp.concatenate(
+            [jnp.broadcast_to(self.uv_latent, (b,) + self.uv_latent.shape[1:]),
+             uv], axis=-1,
+        )
+        query = query + self.pos_embedding[None]
+        attn = self.cross_attn(query, tokens)
+        for layer in self.middle:
+            attn = layer(attn)
+        proj = self.projection(attn)                      # [B, h*w, 2Cl]
+        proj = proj.reshape(b, self.h, self.w, -1)
+        mean, logvar = jnp.split(proj, 2, axis=-1)
+        return DiagonalGaussian(mean, jnp.clip(logvar, -30.0, 20.0))
+
+    def decode(self, z):
+        """z [B,h,w,Cl] -> UV feature map [B,H,W,out]."""
+        return self.decoder(z)
+
+    def __call__(self, x, initial_uv, rng):
+        posterior = self.encode(x, initial_uv)
+        z = posterior.sample(rng)
+        return self.decode(z), posterior
+
+
+class GaussianHeads(nn.Module):
+    """Split UV features into geo/rgb halves and decode Gaussian attribute maps.
+
+    Returns the 13-channel attribute map [B,H,W,13] laid out as
+    (opacity1, offset3, rgb3, scale3, rot3) *pre-grid-sample*, with the
+    reference's activations applied (autoencoder.py:247-309).
+    """
+
+    @nn.compact
+    def __call__(self, feats):  # [B,H,W,C]
+        half = feats.shape[-1] // 2
+        geo = nn.Conv(10, (3, 3), padding="SAME", name="decode_geo")(
+            feats[..., :half]
+        )
+        rgb = nn.Conv(3, (3, 3), padding="SAME", name="decode_rgb")(
+            feats[..., half:]
+        )
+        opacity = jax.nn.sigmoid(geo[..., 0:1])
+        offset = geo[..., 1:4]
+        scale = jax.nn.sigmoid(geo[..., 4:7])
+        rot = jax.nn.sigmoid(geo[..., 7:10])
+        rgb = jax.nn.sigmoid(rgb)
+        return jnp.concatenate([opacity, offset, rgb, scale, rot], axis=-1)
+
+
+SIGMOID_SATURATION = 0.001
+
+
+def sample_gaussian_attrs(attr_map: jnp.ndarray, uv: jnp.ndarray):
+    """Fetch per-Gaussian attributes from the UV attribute map.
+
+    attr_map [B,H,W,13]; uv [N,2] in [0,1] (template init_uv). Matches the
+    reference's grid_sample call: coords scaled to [-1,1], y flipped,
+    bilinear, border padding, align_corners=False (autoencoder.py:297-302).
+    Returns dict of [B,N,*] attribute arrays with post-sample activations.
+    """
+    coord = uv * 2.0 - 1.0
+    coord = coord * jnp.array([1.0, -1.0])
+    chw = jnp.moveaxis(attr_map, -1, 1)                  # [B,13,H,W]
+    out = jax.vmap(lambda m: grid_sample_2d(m, coord, align_corners=False))(chw)
+    out = jnp.moveaxis(out, 1, -1)                       # [B,N,13]
+    opacity = out[..., 0:1]
+    offset = out[..., 1:4]
+    rgb = out[..., 4:7]
+    scale = out[..., 7:10]
+    rot = out[..., 10:13]
+    rgb = rgb * (1 + SIGMOID_SATURATION * 2) - SIGMOID_SATURATION
+    scale = (scale - 0.5) * 2.0
+    rot = (rot - 0.5) * jnp.pi
+    return {
+        "opacity": opacity,
+        "offset": offset,
+        "rgb": rgb,
+        "scale": scale,
+        "rot": rot,
+    }
+
+
+def compose_rotations(rot_delta: jnp.ndarray, init_rot: jnp.ndarray,
+                      tfs: jnp.ndarray) -> jnp.ndarray:
+    """R_def = tfs[:3,:3] @ init_rot @ rodrigues(rot_delta).
+
+    rot_delta [B,N,3] axis-angle; init_rot [N,3,3]; tfs [B,N,4,4].
+    (autoencoder.py:333-337)
+    """
+    R_delta = rodrigues(rot_delta)                        # [B,N,3,3]
+    R = jnp.einsum("nij,bnjk->bnik", init_rot, R_delta)
+    return jnp.einsum("bnij,bnjk->bnik", tfs[..., :3, :3], R)
+
+
+class VAEModel(nn.Module):
+    """ConvVAE + Gaussian heads; geometry/deform/render handled functionally
+    by the trainer (sigman_release_tpu/training) so the module stays a pure
+    image->attributes map."""
+
+    cfg: Config
+
+    def setup(self):
+        self.autoencoder = ConvVAE(self.cfg)
+        self.heads = GaussianHeads()
+
+    def __call__(self, images, initial_uv, rng):
+        """images [B,V,9,H,W] (reference layout) -> (attr_map, posterior)."""
+        x = jnp.moveaxis(images, 2, -1)                   # NHWC
+        uv = jnp.moveaxis(initial_uv, 1, -1)
+        feats, posterior = self.autoencoder(x, uv, rng)
+        return self.heads(feats), posterior
+
+    def encode(self, images, initial_uv) -> DiagonalGaussian:
+        x = jnp.moveaxis(images, 2, -1)
+        uv = jnp.moveaxis(initial_uv, 1, -1)
+        return self.autoencoder.encode(x, uv)
+
+    def decode(self, z):
+        """z [B,h,w,Cl] -> attribute map [B,H,W,13]."""
+        return self.heads(self.autoencoder.decode(z))

@@ -40,10 +40,10 @@ T_EPS = 1e-4
 
 def _backward_kernel(
     start_ref, count_ref,            # scalar-prefetch
-    pairs_hbm,                       # [P_aligned, 16] f32, ANY
+    pairs_hbm,                       # [NC, 16, chunk] f32, ANY
     fwd_ref,                         # [1, 8, PX] forward tile buffer, VMEM
     grad_ref,                        # [1, 8, PX] upstream grads, VMEM
-    dpairs_hbm,                      # out: [P_aligned, 16] f32, ANY
+    dpairs_hbm,                      # out: [NC, 16, chunk] f32, ANY
     chunk_vmem, dchunk_vmem, dma_sem, out_sem,
     *, ntx_per_view, tiles_per_view, chunk,
 ):
@@ -51,6 +51,7 @@ def _backward_kernel(
     tile_in_view = t % tiles_per_view
     start = start_ref[t]
     count = count_ref[t]
+    chunk0 = start // chunk
     px, py = _pixel_coords(tile_in_view, ntx_per_view)
 
     g_r = grad_ref[0, 0:1, :]
@@ -71,14 +72,27 @@ def _backward_kernel(
     n_chunks = pl.cdiv(count, chunk)
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
+    def start_in_dma(c, slot):
+        pltpu.make_async_copy(
+            pairs_hbm.at[chunk0 + c], chunk_vmem.at[slot], dma_sem.at[slot]
+        ).start()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_in_dma(0, 0)
+
     def body(state):
         c, Tf, prefix = state
-        cp = pltpu.make_async_copy(
-            pairs_hbm.at[pl.ds(start + c * chunk, chunk), :], chunk_vmem, dma_sem
-        )
-        cp.start()
-        cp.wait()
-        feats = chunk_vmem[:, :]
+        slot = c % 2
+        pltpu.make_async_copy(
+            pairs_hbm.at[chunk0 + c], chunk_vmem.at[slot], dma_sem.at[slot]
+        ).wait()
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            start_in_dma(c + 1, (c + 1) % 2)
+
+        feats = chunk_vmem[slot, :, :].T                  # [K,16]
         row_ok = row < (count - c * chunk)
         alpha, gexp, dx, dy, unclamped = _chunk_alpha(feats, px, py, row_ok)
 
@@ -113,30 +127,37 @@ def _backward_kernel(
         ca = feats[:, F_CA:F_CA + 1]
         cb = feats[:, F_CB:F_CB + 1]
         cc = feats[:, F_CC:F_CC + 1]
-        d_mx = jnp.sum(d_pow * (-(ca * dx + cb * dy)), axis=1)
-        d_my = jnp.sum(d_pow * (-(cc * dy + cb * dx)), axis=1)
-        d_ca = jnp.sum(d_pow * (-0.5 * dx * dx), axis=1)
-        d_cb = jnp.sum(d_pow * (-dx * dy), axis=1)
-        d_cc = jnp.sum(d_pow * (-0.5 * dy * dy), axis=1)
-        d_opa = jnp.sum(d_opa_px, axis=1)
+        d_mx = jnp.sum(d_pow * (-(ca * dx + cb * dy)), axis=1, keepdims=True)
+        d_my = jnp.sum(d_pow * (-(cc * dy + cb * dx)), axis=1, keepdims=True)
+        d_ca = jnp.sum(d_pow * (-0.5 * dx * dx), axis=1, keepdims=True)
+        d_cb = jnp.sum(d_pow * (-dx * dy), axis=1, keepdims=True)
+        d_cc = jnp.sum(d_pow * (-0.5 * dy * dy), axis=1, keepdims=True)
+        d_opa = jnp.sum(d_opa_px, axis=1, keepdims=True)
         d_col = jax.lax.dot_general(                      # [K,3]
             w, g_rgb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        d_dep = jnp.sum(w * g_d, axis=1)
+        d_dep = jnp.sum(w * g_d, axis=1, keepdims=True)
 
         zeros = jnp.zeros_like(d_mx)
-        dchunk_vmem[:, :] = jnp.stack(
-            [d_mx, d_my, d_ca, d_cb, d_cc,
-             d_col[:, 0], d_col[:, 1], d_col[:, 2], d_opa, d_dep,
+        dgrads = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_col, d_opa, d_dep,
              zeros, zeros, zeros, zeros, zeros, zeros],
             axis=-1,
-        )
-        out_cp = pltpu.make_async_copy(
-            dchunk_vmem, dpairs_hbm.at[pl.ds(start + c * chunk, chunk), :], out_sem
-        )
-        out_cp.start()
-        out_cp.wait()
+        )                                                 # [K,16]
+        # double-buffered output: wait for the write issued two chunks ago
+        # before overwriting its buffer
+        @pl.when(c >= 2)
+        def _():
+            pltpu.make_async_copy(
+                dchunk_vmem.at[slot], dpairs_hbm.at[chunk0 + c - 2],
+                out_sem.at[slot],
+            ).wait()
+
+        dchunk_vmem[slot, :, :] = dgrads.T                # [16,K]
+        pltpu.make_async_copy(
+            dchunk_vmem.at[slot], dpairs_hbm.at[chunk0 + c], out_sem.at[slot]
+        ).start()
 
         return (c + 1, t_incl[-1:, :], pref_incl[-1:, :])
 
@@ -148,15 +169,37 @@ def _backward_kernel(
             jnp.zeros((1, PX), jnp.float32))
     c_end, _, _ = jax.lax.while_loop(cond, body, init)
 
+    # drain: wait for the last (up to two) in-flight output writes and the
+    # prefetched input of an early-terminated loop
+    @pl.when(c_end >= 1)
+    def _():
+        pltpu.make_async_copy(
+            dchunk_vmem.at[(c_end - 1) % 2], dpairs_hbm.at[chunk0 + c_end - 1],
+            out_sem.at[(c_end - 1) % 2],
+        ).wait()
+
+    @pl.when(c_end >= 2)
+    def _():
+        pltpu.make_async_copy(
+            dchunk_vmem.at[c_end % 2], dpairs_hbm.at[chunk0 + c_end - 2],
+            out_sem.at[c_end % 2],
+        ).wait()
+
+    @pl.when(c_end < n_chunks)
+    def _():
+        pltpu.make_async_copy(
+            pairs_hbm.at[chunk0 + c_end], chunk_vmem.at[c_end % 2],
+            dma_sem.at[c_end % 2],
+        ).wait()
+
     # zero the grad rows of chunks skipped by early termination
-    def zero_body(state):
-        c = state
-        dchunk_vmem[:, :] = jnp.zeros((chunk, PAIR_FEATS), jnp.float32)
-        out_cp = pltpu.make_async_copy(
-            dchunk_vmem, dpairs_hbm.at[pl.ds(start + c * chunk, chunk), :], out_sem
+    def zero_body(c):
+        dchunk_vmem[0, :, :] = jnp.zeros((PAIR_FEATS, chunk), jnp.float32)
+        cp = pltpu.make_async_copy(
+            dchunk_vmem.at[0], dpairs_hbm.at[chunk0 + c], out_sem.at[0]
         )
-        out_cp.start()
-        out_cp.wait()
+        cp.start()
+        cp.wait()
         return c + 1
 
     jax.lax.while_loop(lambda c: c < n_chunks, zero_body, c_end)
@@ -198,10 +241,10 @@ def backward_tiles(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((chunk, PAIR_FEATS), jnp.float32),
-            pltpu.VMEM((chunk, PAIR_FEATS), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, PAIR_FEATS, chunk), jnp.float32),
+            pltpu.VMEM((2, PAIR_FEATS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

@@ -86,7 +86,7 @@ def _chunk_alpha(feats, px, py, row_ok):
 
 def _forward_kernel(
     start_ref, count_ref,           # scalar-prefetch [n_programs]
-    pairs_hbm,                      # [P_pad, 16] f32 in ANY/HBM
+    pairs_hbm,                      # [NC, 16, chunk] f32 in ANY/HBM
     out_ref,                        # [1, 8, PX] f32 per-tile output block
     chunk_vmem, dma_sem,            # scratch
     *, ntx_per_view, tiles_per_view, chunk,
@@ -95,10 +95,20 @@ def _forward_kernel(
     tile_in_view = t % tiles_per_view
     start = start_ref[t]
     count = count_ref[t]
+    chunk0 = start // chunk          # tile segments are chunk-aligned
     px, py = _pixel_coords(tile_in_view, ntx_per_view)
 
     n_chunks = pl.cdiv(count, chunk)
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+
+    def start_dma(c, slot):
+        pltpu.make_async_copy(
+            pairs_hbm.at[chunk0 + c], chunk_vmem.at[slot], dma_sem.at[slot]
+        ).start()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_dma(0, 0)
 
     # Two transmittance carries (see reference.py for the shared rules):
     #   Tf — product of (1-alpha) over ALL processed gaussians; monotone, used
@@ -109,14 +119,17 @@ def _forward_kernel(
     #        is the T the CUDA renderer uses for background blending.
     def body(state):
         c, Tf, Tr, r, g, b, d = state
-        cp = pltpu.make_async_copy(
-            pairs_hbm.at[pl.ds(start + c * chunk, chunk), :],
-            chunk_vmem,
-            dma_sem,
-        )
-        cp.start()
-        cp.wait()
-        feats = chunk_vmem[:, :]
+        slot = c % 2
+        # wait for this chunk, immediately prefetch the next (double buffer)
+        pltpu.make_async_copy(
+            pairs_hbm.at[chunk0 + c], chunk_vmem.at[slot], dma_sem.at[slot]
+        ).wait()
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            start_dma(c + 1, (c + 1) % 2)
+
+        feats = chunk_vmem[slot, :, :].T             # [K,16]
         row_ok = row < (count - c * chunk)
         alpha, _, _, _, _ = _chunk_alpha(feats, px, py, row_ok)
 
@@ -146,7 +159,15 @@ def _forward_kernel(
     zero = jnp.zeros((1, PX), jnp.float32)
     ones = jnp.ones((1, PX), jnp.float32)
     init = (jnp.int32(0), ones, ones, zero, zero, zero, zero)
-    _, Tf, Tr, r, g, b, d = jax.lax.while_loop(cond, body, init)
+    c_end, Tf, Tr, r, g, b, d = jax.lax.while_loop(cond, body, init)
+
+    # early termination leaves one prefetched DMA in flight — drain it
+    @pl.when(c_end < n_chunks)
+    def _():
+        pltpu.make_async_copy(
+            pairs_hbm.at[chunk0 + c_end], chunk_vmem.at[c_end % 2],
+            dma_sem.at[c_end % 2],
+        ).wait()
 
     out_ref[0, 0, :] = r[0]
     out_ref[0, 1, :] = g[0]
@@ -192,8 +213,8 @@ def forward_tiles(
             (1, 8, PX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((chunk, PAIR_FEATS), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, PAIR_FEATS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

@@ -21,7 +21,9 @@ ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 
 
-@functools.partial(jax.jit, static_argnames=("img_h", "img_w", "row_block"))
+@functools.partial(
+    jax.jit, static_argnames=("img_h", "img_w", "row_block", "tile_size")
+)
 def render_dense(
     means3d: jnp.ndarray,        # [N,3]
     cov3d: jnp.ndarray,          # [N,6]
@@ -35,8 +37,15 @@ def render_dense(
     img_w: int,
     bg_color: jnp.ndarray,       # [3]
     row_block: int = 16,
+    tile_size: int = 32,
 ):
-    """Render one view. Returns dict with image [3,H,W], alpha/depth [1,H,W]."""
+    """Render one view. Returns dict with image [3,H,W], alpha/depth [1,H,W].
+
+    ``tile_size`` replicates the tile-rect cutoff of the CUDA rasterizer
+    (a gaussian touches exactly the pixels of tiles its 3-sigma screen rect
+    overlaps — tails beyond the rect are cut). Pass 0 to disable and
+    composite every gaussian at every pixel.
+    """
     opacity = opacity.reshape(-1)
     proj = project_gaussians(
         means3d, cov3d, cam_view, cam_view_proj,
@@ -70,6 +79,17 @@ def render_dense(
         alpha = jnp.minimum(ALPHA_MAX, opa[None, None, :] * jnp.exp(power))
         alpha = jnp.where(power > 0.0, 0.0, alpha)          # CUDA skips power>0
         alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
+        if tile_size:
+            # tile-rect cutoff (see docstring)
+            x0 = jnp.floor((mean2d[:, 0] - radius) / tile_size)
+            x1 = jnp.floor((mean2d[:, 0] + radius) / tile_size) + 1
+            y0 = jnp.floor((mean2d[:, 1] - radius) / tile_size)
+            y1 = jnp.floor((mean2d[:, 1] + radius) / tile_size) + 1
+            tx = jnp.floor(px / tile_size)                  # [1,W,1]
+            ty = jnp.floor(py / tile_size)                  # [R,1,1]
+            in_rect = ((tx >= x0[None, None]) & (tx < x1[None, None])
+                       & (ty >= y0[None, None]) & (ty < y1[None, None]))
+            alpha = jnp.where(in_rect, alpha, 0.0)
         one_m = 1.0 - alpha
         t_inc = jnp.cumprod(one_m, axis=-1)                 # inclusive
         contrib = t_inc >= T_EPS                            # early-stop rule

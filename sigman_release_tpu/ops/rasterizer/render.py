@@ -119,9 +119,13 @@ def rasterize_single(
         )
     )(proj)
 
-    p_aligned = bins.pair_feats.shape[1]
-    pair_feats = bins.pair_feats.reshape(V * p_aligned, -1)
-    offsets = (jnp.arange(V, dtype=jnp.int32) * p_aligned)[:, None]
+    # bins.pair_feats: [V, NC, 16, chunk] -> [V*NC, 16, chunk]; tile starts
+    # offset by whole views (chunk-aligned by construction)
+    nc = bins.pair_feats.shape[1]
+    pair_feats = bins.pair_feats.reshape(
+        V * nc, binning_lib.PAIR_FEATS, cfg.chunk
+    )
+    offsets = (jnp.arange(V, dtype=jnp.int32) * nc * cfg.chunk)[:, None]
     tile_start = (bins.tile_start + offsets).reshape(-1)
     tile_count = bins.tile_count.reshape(-1)
 

@@ -1,0 +1,73 @@
+"""Device mesh + sharding helpers (the distributed runtime).
+
+Replaces the reference's accelerate/NCCL DDP stack
+(/root/reference/configs/training.yaml, train_vae.py:29-32,122-124) the
+TPU-native way: one process per host, a global ``jax.sharding.Mesh`` over all
+pod-slice devices, batch-sharded jit so gradient ``psum`` rides ICI and XLA's
+async collectives overlap the all-reduce with backward — no hand-written
+communication.
+
+Default topology is pure data-parallel (mesh ``('data',)``) matching the
+reference's 8x8 DDP; the mesh helper accepts extra axes (e.g.
+``('data', 'model')``) for TP-style shardings of the DiT if scaled up.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host init over DCN (jax.distributed). Safe no-op when single."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(shape: Sequence[int] = (-1,),
+              axes: Sequence[str] = ("data",),
+              devices=None) -> Mesh:
+    """Build a mesh over all devices; -1 infers the free axis size."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = n // known
+    assert int(np.prod(shape)) == n, (shape, n)
+    return Mesh(devices.reshape(shape), tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over ``axis``; replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """device_put a host batch (dict pytree) with the batch dim sharded.
+
+    Non-array entries (e.g. item ids) are dropped.
+    """
+    sh = batch_sharding(mesh, axis)
+
+    def put(x):
+        return jax.device_put(np.asarray(x), sh)
+
+    return {
+        k: put(v) for k, v in batch.items()
+        if isinstance(v, (np.ndarray, jax.Array))
+    }

@@ -1,0 +1,72 @@
+"""Checkpointing: full train state (params + optimizer + step + RNG).
+
+Improves on the reference, which safetensors-saves weights only and loses
+optimizer state/step/RNG on resume (/root/reference/train_vae.py:216-228,
+SURVEY.md §5). Serialization is flax msgpack; ``tolerant_restore`` reproduces
+the reference's shape-tolerant load semantics (copy matching-shape entries,
+warn otherwise — train_vae.py:59-75).
+
+Multi-host: only process 0 writes; all hosts read. Arrays are gathered to
+host before writing (fine at these model sizes; orbax-style sharded
+checkpointing can be layered in when models outgrow host memory).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    """state: arbitrary pytree (params, opt_state tuples, step, ...).
+
+    Converted through flax ``to_state_dict`` so tuples/NamedTuples (optax
+    states) serialize as indexed dicts.
+    """
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    sd = serialization.to_state_dict(state)
+    host_state = jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x, sd
+    )
+    data = serialization.msgpack_serialize(host_state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Returns the raw state dict (indexed-dict form)."""
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def tolerant_restore(target: Any, loaded: Dict[str, Any],
+                     verbose: bool = True) -> Any:
+    """Copy entries whose shapes match into ``target``'s structure; keep
+    target values otherwise. Returns a pytree with target's structure."""
+    tgt_sd = serialization.to_state_dict(target)
+    tgt_flat = flatten_dict(tgt_sd)
+    src_flat = flatten_dict(loaded)
+    out = {}
+    for k, v in tgt_flat.items():
+        if k in src_flat and getattr(src_flat[k], "shape", None) == getattr(
+            v, "shape", None
+        ):
+            out[k] = src_flat[k]
+        else:
+            if verbose and k in src_flat:
+                print(f"[ckpt] shape mismatch for {'/'.join(map(str, k))}: "
+                      f"{getattr(src_flat[k], 'shape', '?')} vs "
+                      f"{getattr(v, 'shape', '?')} — keeping init")
+            elif verbose:
+                print(f"[ckpt] missing key {'/'.join(map(str, k))} — keeping init")
+            out[k] = v
+    return serialization.from_state_dict(target, unflatten_dict(out))

@@ -1,0 +1,191 @@
+"""DiT training: DDPM v-prediction in the frozen VAE's latent space.
+
+Re-design of /root/reference/train_DiT.py:176-587: encode multi-view input
+through the frozen VAE (latent x vae_scaling_factor), encode the conditioning
+image, add noise at uniform timesteps, predict v, weight the (pred - x0)^2
+loss by 1/(1 - abar_t) (train_DiT.py:378-390), with conditioning dropout for
+CFG (train_DiT.py:120-121). One jitted SPMD train step; RoPE and the joint
+cond/image attention live inside the DiTModel.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sigman_release_tpu.config import Config
+from sigman_release_tpu.diffusion.ddim import DDIMScheduler
+from sigman_release_tpu.diffusion.pipeline import SamplePipeline
+from sigman_release_tpu.models.dit import DiTModel
+from sigman_release_tpu.models.encoders import ViTFeatureEncoder
+from sigman_release_tpu.models.vae import VAEModel
+from sigman_release_tpu.parallel.mesh import make_mesh, shard_batch
+from sigman_release_tpu.training.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    tolerant_restore,
+)
+
+
+class DiTTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class DiTTrainer:
+    def __init__(self, cfg: Config, vae_params=None, encoder_params=None,
+                 mesh=None):
+        self.cfg = cfg
+        self.model = DiTModel(cfg)
+        self.vae = VAEModel(cfg)
+        self.vae_params = vae_params            # frozen
+        self.encoder = ViTFeatureEncoder(embed_dim=cfg.text_embed_dim)
+        self.encoder_params = encoder_params    # frozen
+        self.scheduler = DDIMScheduler(
+            num_train_timesteps=cfg.num_train_timesteps,
+            beta_start=cfg.beta_start,
+            beta_end=cfg.beta_end,
+            beta_schedule=cfg.beta_schedule,
+            prediction_type=cfg.prediction_type,
+            rescale_betas_zero_snr=cfg.rescale_betas_zero_snr,
+            snr_shift_scale=cfg.snr_shift_scale,
+            timestep_spacing=cfg.timestep_spacing,
+        )
+        self.pipeline = SamplePipeline(cfg, self.scheduler)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh_shape, cfg.mesh_axes
+        )
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, cfg.lr_warmup_steps,
+            max(cfg.lr_warmup_steps + 1, 1_000_000),
+        ) if cfg.lr_scheduler == "cosine" else cfg.lr
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.gradient_clip),
+            optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=1e-4),
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, key: jax.Array) -> DiTTrainState:
+        cfg = self.cfg
+        latent = jnp.zeros(
+            (1, cfg.in_channels, cfg.sample_height, cfg.sample_width)
+        )
+        # any conditioning spatial size initializes the same conv params —
+        # token count is data-dependent (no learned positions on cond tokens)
+        cond = jnp.zeros((1, cfg.text_embed_dim, 16, 16))
+        t = jnp.zeros((1,), jnp.int32)
+        params = self.model.init(key, latent, cond, t)
+        return DiTTrainState(params, self.tx.init(params),
+                             jnp.zeros((), jnp.int32))
+
+    # --------------------------------------------------------------- encode
+
+    def encode_inputs(self, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        """Frozen VAE latent + frozen conditioning features
+        (train_DiT.py:100-124)."""
+        cfg = self.cfg
+        posterior = self.vae.apply(
+            self.vae_params, batch["input"], batch["UV_inital"],
+            method=VAEModel.encode,
+        )
+        latent = posterior.sample(rng)            # [B,h,w,C]
+        latent = jnp.moveaxis(latent, -1, 1) * cfg.vae_scaling_factor
+        cond = self.encoder.apply(
+            self.encoder_params, batch["sapiens_input"]
+        )
+        return jax.lax.stop_gradient(latent), jax.lax.stop_gradient(cond)
+
+    # ------------------------------------------------------------ train step
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def train_step(self, state: DiTTrainState, batch, rng: jax.Array):
+        cfg = self.cfg
+        k_enc, k_t, k_noise, k_drop = jax.random.split(rng, 4)
+        latent, cond = self.encode_inputs(batch, k_enc)
+        B = latent.shape[0]
+
+        t = jax.random.randint(k_t, (B,), 0, cfg.num_train_timesteps)
+        noise = jax.random.normal(k_noise, latent.shape)
+        noisy = self.scheduler.add_noise(latent, noise, t)
+
+        # conditioning dropout for CFG (train_DiT.py:120-121)
+        drop = jax.random.bernoulli(
+            k_drop, cfg.noised_condition_dropout, (B, 1, 1, 1)
+        )
+        cond = jnp.where(drop, 0.0, cond)
+
+        weights = self.scheduler.snr_weights(t).reshape(B, 1, 1, 1)
+
+        def loss_fn(params):
+            v_pred = self.model.apply(params, noisy, cond, t)
+            # recovered x0 from predicted v vs true latent
+            a = self.scheduler.alphas_cumprod[t].reshape(B, 1, 1, 1)
+            x0_pred = jnp.sqrt(a) * noisy - jnp.sqrt(1 - a) * v_pred
+            loss = jnp.mean(weights * (x0_pred - latent) ** 2)
+            return loss, {"loss": loss}
+
+        grads, logs = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return DiTTrainState(params, opt_state, state.step + 1), logs
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, train_loader, state: DiTTrainState,
+            num_steps: Optional[int] = None, log_every: int = 10,
+            ckpt_path: Optional[str] = None):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed + 7 + jax.process_index())
+        step = int(state.step)
+        t0 = time.time()
+        done = False
+        while not done:
+            for batch in train_loader:
+                if num_steps is not None and step >= num_steps:
+                    done = True
+                    break
+                key, sub = jax.random.split(key)
+                sharded = shard_batch(batch, self.mesh)
+                state, logs = self.train_step(state, sharded, sub)
+                step += 1
+                if step % log_every == 0 and jax.process_index() == 0:
+                    dt = (time.time() - t0) / log_every
+                    t0 = time.time()
+                    print(f"[dit] step {step} "
+                          f"loss {float(logs['loss']):.4f} ({dt:.2f}s/step)", flush=True)
+                if ckpt_path and step % cfg.save_ckpt_steps == 0:
+                    save_checkpoint(ckpt_path, state)
+            if num_steps is None:
+                done = True
+        if ckpt_path:
+            save_checkpoint(ckpt_path, state)
+        return state
+
+    def resume(self, state: DiTTrainState, path: str) -> DiTTrainState:
+        return tolerant_restore(state, load_checkpoint(path))
+
+    # -------------------------------------------------------------- sampling
+
+    def sample(self, state: DiTTrainState, cond_images: jnp.ndarray,
+               key: jax.Array, num_inference_steps: Optional[int] = None):
+        """cond_images [B,3,H,W] -> latents [B,C,h,w] (decoded by caller)."""
+        cond = self.encoder.apply(self.encoder_params, cond_images)
+
+        def dit_apply(params, lat, c, t):
+            return self.model.apply(params, lat, c, t)
+
+        return self.pipeline.sample_latents(
+            dit_apply, state.params, cond, key,
+            num_inference_steps=(num_inference_steps
+                                 or self.cfg.num_inference_steps),
+            guidance_scale=self.cfg.guidance_scale,
+        )

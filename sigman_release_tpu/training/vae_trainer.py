@@ -1,0 +1,293 @@
+"""VAE training: render loss + LPIPS + KL + GAN through the Pallas rasterizer.
+
+Re-designs the reference trainer (/root/reference/train_vae.py:26-348) as a
+single jitted SPMD train step per optimizer:
+
+* torch DDP + accelerate -> batch-sharded jit over a ``('data',)`` mesh;
+  gradient all-reduce is XLA's psum, overlapped with backward automatically,
+* the G/D alternation (train_vae.py:137-147) becomes two pure train steps
+  selected by step parity — no ``requires_grad`` toggling; gradients flow to
+  the right subtree by construction (SURVEY.md §7 hard part 5),
+* full train state (params, both optimizers, step) checkpoints — not just
+  weights.
+
+Geometry path per step (autoencoder.py:284-345): VAE -> UV attribute map ->
+grid-sample at template UV -> canonical points + offsets -> LBS deformer ->
+rotation composition -> rasterize -> photometric losses.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sigman_release_tpu.body.deformer import DeformerState, GaussianDeformer
+from sigman_release_tpu.body.smplx import (
+    SMPLXModel,
+    load_smplx_npz,
+    parse_param_vector,
+    synthetic_body_model,
+)
+from sigman_release_tpu.body.template import (
+    TemplateAssets,
+    load_template_dir,
+    synthetic_template,
+)
+from sigman_release_tpu.config import Config
+from sigman_release_tpu.losses.combined import VAELoss
+from sigman_release_tpu.losses.gan import PatchDiscriminator
+from sigman_release_tpu.losses.lpips import LPIPS, load_lpips_params
+from sigman_release_tpu.losses.metrics import psnr
+from sigman_release_tpu.models.vae import VAEModel, compose_rotations, sample_gaussian_attrs
+from sigman_release_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sigman_release_tpu.renderer import GaussianRenderer
+from sigman_release_tpu.training.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    tolerant_restore,
+)
+
+
+class TrainState(NamedTuple):
+    params: Any            # VAE params
+    logvar: jnp.ndarray    # [] learned NLL logvar
+    disc_params: Any
+    opt_state_g: Any
+    opt_state_d: Any
+    step: jnp.ndarray      # [] int32
+
+
+class VAETrainer:
+    def __init__(
+        self,
+        cfg: Config,
+        body_model: Optional[SMPLXModel] = None,
+        template: Optional[TemplateAssets] = None,
+        interpret: Optional[bool] = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        if interpret is None:  # CPU has no Mosaic compiler
+            interpret = jax.devices()[0].platform == "cpu"
+        if body_model is None:
+            if cfg.smplx_model_path:
+                body_model = load_smplx_npz(cfg.smplx_model_path)
+            else:
+                body_model = synthetic_body_model()
+        self.body_model = body_model
+        if template is None:
+            try:
+                template = load_template_dir(cfg.template_dir)
+            except (FileNotFoundError, OSError):
+                template = synthetic_template(body_model)
+        self.template = template
+
+        mask = None
+        if template.face_mask is not None:
+            mask = (template.face_mask.astype(bool)
+                    | (template.hands_mask if template.hands_mask is not None
+                       else 0).astype(bool)
+                    | (template.outside_mask if template.outside_mask is not None
+                       else 0).astype(bool))
+        self.deformer = GaussianDeformer(
+            body_model, template.init_faces, template.init_spdir,
+            template.init_podir, template.init_lbsw, weight_mask=mask,
+        )
+        self.deformer_state: DeformerState = self.deformer.initialize()
+
+        self.renderer = GaussianRenderer(cfg, interpret=interpret)
+        self.model = VAEModel(cfg)
+        # adapt depth to the render size: 4 layers at 512^2 like the
+        # reference; fewer for small configs so patch logits stay non-empty
+        import math as _math
+
+        n_layers = max(1, min(4, int(_math.log2(cfg.output_size)) - 3))
+        self.discriminator = PatchDiscriminator(n_layers=n_layers)
+        self.lpips = LPIPS()
+        self.loss = VAELoss(
+            cfg,
+            lpips_apply=self.lpips.apply,
+            disc_apply=self.discriminator.apply,
+        )
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.mesh_shape, cfg.mesh_axes
+        )
+
+        self.tx_g = optax.chain(
+            optax.clip_by_global_norm(cfg.gradient_clip),
+            optax.adamw(cfg.lr, b1=0.9, b2=0.95, weight_decay=0.01),
+        )
+        self.tx_d = optax.chain(
+            optax.clip_by_global_norm(cfg.gradient_clip),
+            optax.adamw(cfg.lr),
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, key: jax.Array,
+                   lpips_ckpt: Optional[str] = None) -> Tuple[TrainState, Any]:
+        cfg = self.cfg
+        B, V, H = 1, cfg.num_input_views, cfg.input_size
+        images = jnp.zeros((B, V, 9, H, H))
+        uv = jnp.zeros((B, 3, H, H))
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        params = self.model.init({"params": k1, "sample": k2}, images, uv, k2)
+        disc_params = self.discriminator.init(
+            k3, jnp.zeros((1, 1, 3, cfg.output_size, cfg.output_size))
+        )
+        lpips_params = load_lpips_params(lpips_ckpt) if lpips_ckpt else None
+        if lpips_params is None:
+            x = jnp.zeros((1, 3, 64, 64))
+            lpips_params = self.lpips.init(k4, x, x)
+        state = TrainState(
+            params=params,
+            logvar=jnp.zeros((), jnp.float32),
+            disc_params=disc_params,
+            opt_state_g=self.tx_g.init((params, jnp.zeros(()))),
+            opt_state_d=self.tx_d.init(disc_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        return state, lpips_params
+
+    # --------------------------------------------------------------- forward
+
+    def forward(self, params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
+                sample_posterior: bool = True):
+        """Full differentiable forward: images -> rendered views."""
+        cfg = self.cfg
+        t = self.template
+        attr_map, posterior = self.model.apply(
+            params, batch["input"], batch["UV_inital"], rng
+        )
+        attrs = sample_gaussian_attrs(attr_map, t.init_uv)
+        canon = t.init_pcd[None] + attrs["offset"]
+
+        smplx_params = parse_param_vector(batch["smpl_params"])
+        posed = self.deformer.prepare(self.deformer_state, smplx_params)
+        defm_pcd, tfs = self.deformer(self.deformer_state, posed, canon)
+        R_def = compose_rotations(attrs["rot"], t.init_rot, tfs)
+
+        gaussians = {
+            "position": defm_pcd,
+            "opacity": attrs["opacity"],
+            "scale": attrs["scale"],
+            "cov3d": R_def,
+            "rgb": attrs["rgb"],
+        }
+        render = self.renderer.render(
+            gaussians, batch["cam_view"], batch["cam_view_proj"]
+        )
+        outputs = {
+            "images_pred": render["image"],
+            "alphas_pred": render["alpha"],
+            "images_gt": batch["images_output"],
+            "masks_gt": batch["masks_output"],
+        }
+        return outputs, posterior
+
+    # ------------------------------------------------------------ train steps
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def train_step_g(self, state: TrainState, batch, lpips_params,
+                     rng: jax.Array):
+        def loss_fn(diff):
+            params, logvar = diff
+            outputs, posterior = self.forward(params, batch, rng)
+            loss, logs = self.loss.generator(
+                outputs, posterior, state.step, logvar,
+                lpips_params=lpips_params, disc_params=state.disc_params,
+            )
+            logs["psnr"] = psnr(
+                jax.lax.stop_gradient(outputs["images_pred"]),
+                outputs["images_gt"],
+            )
+            return loss, logs
+
+        grads, logs = jax.grad(loss_fn, has_aux=True)(
+            (state.params, state.logvar)
+        )
+        updates, opt_state_g = self.tx_g.update(
+            grads, state.opt_state_g, (state.params, state.logvar)
+        )
+        params, logvar = optax.apply_updates(
+            (state.params, state.logvar), updates
+        )
+        return state._replace(
+            params=params, logvar=logvar, opt_state_g=opt_state_g,
+            step=state.step + 1,
+        ), logs
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def train_step_d(self, state: TrainState, batch, rng: jax.Array):
+        outputs, _ = self.forward(state.params, batch, rng)
+        outputs = jax.lax.stop_gradient(outputs)
+
+        def loss_fn(disc_params):
+            return self.loss.discriminator(outputs, state.step, disc_params)
+
+        grads, logs = jax.grad(loss_fn, has_aux=True)(state.disc_params)
+        updates, opt_state_d = self.tx_d.update(
+            grads, state.opt_state_d, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, updates)
+        return state._replace(
+            disc_params=disc_params, opt_state_d=opt_state_d,
+            step=state.step + 1,
+        ), logs
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def eval_step(self, state: TrainState, batch, rng: jax.Array):
+        outputs, posterior = self.forward(state.params, batch, rng,
+                                          sample_posterior=False)
+        return {
+            "psnr": psnr(outputs["images_pred"], outputs["images_gt"]),
+        }, outputs
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, train_loader, state: TrainState, lpips_params,
+            num_steps: Optional[int] = None, log_every: int = 10,
+            ckpt_path: Optional[str] = None):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed + jax.process_index())
+        step = int(state.step)
+        t0 = time.time()
+        done = False
+        while not done:
+            for batch in train_loader:
+                if num_steps is not None and step >= num_steps:
+                    done = True
+                    break
+                key, sub = jax.random.split(key)
+                sharded = shard_batch(batch, self.mesh)
+                use_d = (
+                    step >= cfg.disc_start and step % 2 == 1
+                )  # parity alternation (train_vae.py:137-147)
+                if use_d:
+                    state, logs = self.train_step_d(state, sharded, sub)
+                else:
+                    state, logs = self.train_step_g(
+                        state, sharded, lpips_params, sub
+                    )
+                step += 1
+                if step % log_every == 0 and jax.process_index() == 0:
+                    host_logs = {k: float(v) for k, v in logs.items()}
+                    dt = (time.time() - t0) / log_every
+                    t0 = time.time()
+                    print(f"[vae] step {step} {host_logs} ({dt:.2f}s/step)", flush=True)
+                if ckpt_path and step % cfg.save_ckpt_steps == 0:
+                    save_checkpoint(ckpt_path, state)
+            if num_steps is None:
+                done = True
+        if ckpt_path:
+            save_checkpoint(ckpt_path, state)
+        return state
+
+    def resume(self, state: TrainState, path: str) -> TrainState:
+        return tolerant_restore(state, load_checkpoint(path))

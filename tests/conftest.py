@@ -1,14 +1,19 @@
 """Test configuration: run on CPU with 8 virtual devices.
 
-Multi-chip sharding logic is validated on a virtual device mesh
-(``xla_force_host_platform_device_count=8``) so the suite runs anywhere;
-the driver separately dry-runs the real multi-chip path via
+IMPORTANT: this environment's ``sitecustomize`` registers the axon TPU PJRT
+plugin in every interpreter and calls
+``jax.config.update("jax_platforms", "axon,cpu")`` — overriding any
+``JAX_PLATFORMS`` env var. Tests must run on CPU (the single TPU tunnel
+serializes across processes), so we override the config *after* sitecustomize
+by calling ``jax.config.update`` here, before any backend initializes.
+
+Multi-chip sharding logic is validated on a virtual 8-device CPU mesh; the
+driver separately dry-runs the real multi-chip path via
 ``__graft_entry__.dryrun_multichip``.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +22,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -1,0 +1,175 @@
+"""SMPL-X body model, LBS, deformer, template tests (synthetic model)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sigman_release_tpu.body import (
+    GaussianDeformer,
+    lbs,
+    smplx_forward,
+    synthetic_body_model,
+    synthetic_template,
+)
+from sigman_release_tpu.body.lbs import rigid_inverse, skinning
+from sigman_release_tpu.body.smplx import (
+    SMPLX_PARENTS,
+    canonical_params,
+    parse_param_vector,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return synthetic_body_model(n_verts=512)
+
+
+@pytest.fixture(scope="module")
+def template(model):
+    return synthetic_template(model)
+
+
+def test_zero_pose_identity(model):
+    """Zero pose, zero betas, no transl -> verts == template."""
+    p = canonical_params(1, pca_hands=True)._replace(
+        left_hand_pose=jnp.zeros((1, 12)),
+        right_hand_pose=jnp.zeros((1, 12)),
+        transl=jnp.zeros((1, 3)),
+    )
+    out = smplx_forward(model, p)
+    np.testing.assert_allclose(
+        np.asarray(out.verts[0]), np.asarray(model.v_template), atol=1e-4
+    )
+    # A should be (near) identity for every joint
+    eye = np.broadcast_to(np.eye(4), out.A.shape[1:])
+    np.testing.assert_allclose(np.asarray(out.A[0]), eye, atol=1e-4)
+
+
+def test_global_rotation_rotates_rigidly(model):
+    angle = np.pi / 2
+    p = canonical_params(1)._replace(
+        left_hand_pose=jnp.zeros((1, 12)),
+        right_hand_pose=jnp.zeros((1, 12)),
+        transl=jnp.zeros((1, 3)),
+        global_orient=jnp.array([[0.0, angle, 0.0]]),
+    )
+    out = smplx_forward(model, p)
+    # rotating the whole body preserves pairwise distances
+    v = np.asarray(out.verts[0])
+    t = np.asarray(model.v_template)
+    dv = np.linalg.norm(v[1:] - v[:-1], axis=-1)
+    dt = np.linalg.norm(t[1:] - t[:-1], axis=-1)
+    np.testing.assert_allclose(dv, dt, atol=1e-3)
+    # root joint stays at origin-ish (pelvis on axis)
+    assert np.linalg.norm(np.asarray(out.joints[0, 0])) < 0.2
+
+
+def test_transl_and_scale(model):
+    p0 = canonical_params(1)._replace(transl=jnp.zeros((1, 3)))
+    p1 = p0._replace(transl=jnp.array([[0.5, -0.2, 0.1]]),
+                     scale=jnp.array([[2.0]]))
+    v0 = np.asarray(smplx_forward(model, p0).verts[0])
+    v1 = np.asarray(smplx_forward(model, p1).verts[0])
+    np.testing.assert_allclose(v1, v0 * 2.0 + [0.5, -0.2, 0.1], atol=1e-4)
+
+
+def test_pose_feature_shape_and_amass_parsing(model):
+    vec = jnp.asarray(np.random.default_rng(0).normal(0, 0.1, (2, 175)),
+                      jnp.float32)
+    params = parse_param_vector(vec)
+    assert params.left_hand_pose.shape == (2, 45)
+    out = smplx_forward(model, params)
+    assert out.pose_feature.shape == (2, 54 * 9)
+    assert out.A.shape == (2, 55, 4, 4)
+    assert np.isfinite(np.asarray(out.verts)).all()
+
+
+def test_rigid_inverse():
+    rng = np.random.default_rng(1)
+    from sigman_release_tpu.ops.rotations import quaternion_to_matrix
+    R = np.asarray(quaternion_to_matrix(rng.normal(size=(5, 4)).astype(np.float32)))
+    T = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    T[:, :3, :3] = R
+    T[:, :3, 3] = rng.normal(size=(5, 3))
+    Ti = np.asarray(rigid_inverse(jnp.asarray(T)))
+    prod = np.einsum("nij,njk->nik", T, Ti)
+    np.testing.assert_allclose(prod, np.broadcast_to(np.eye(4), prod.shape),
+                               atol=1e-5)
+
+
+def test_skinning_single_bone():
+    """Weights one-hot on bone j -> points move rigidly with bone j."""
+    B, N, J = 1, 16, 4
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+    tfs = np.tile(np.eye(4, dtype=np.float32), (B, J, 1, 1))
+    tfs[0, 2, :3, 3] = [1.0, 2.0, 3.0]
+    w = np.zeros((B, N, J), np.float32)
+    w[..., 2] = 1.0
+    posed, w_tf = skinning(pts, jnp.asarray(w), jnp.asarray(tfs))
+    np.testing.assert_allclose(
+        np.asarray(posed), np.asarray(pts) + [1.0, 2.0, 3.0], atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(w_tf[0, 0]), tfs[0, 2], atol=1e-6)
+
+
+def test_deformer_roundtrip(model, template):
+    """Deforming to the canonical pose itself reproduces the face centers."""
+    deformer = GaussianDeformer(
+        model, template.init_faces, template.init_spdir, template.init_podir,
+        template.init_lbsw, weight_mask=None,
+    )
+    state = deformer.initialize()
+    posed_state = deformer.prepare(state, canonical_params(1))
+    pts = template.init_pcd[None]
+    xd, tf = deformer(state, posed_state, pts)
+    err = np.abs(np.asarray(xd) - np.asarray(pts)).max()
+    assert err < 5e-3, f"canonical roundtrip error {err}"
+    # composite transforms ~ identity
+    eye = np.broadcast_to(np.eye(4), tf.shape[1:])
+    assert np.abs(np.asarray(tf[0]) - eye).max() < 2e-2
+
+
+def test_deformer_posed_moves_points(model, template):
+    deformer = GaussianDeformer(
+        model, template.init_faces, template.init_spdir, template.init_podir,
+        template.init_lbsw, weight_mask=None,
+    )
+    state = deformer.initialize()
+    rng = np.random.default_rng(3)
+    vec = jnp.asarray(rng.normal(0, 0.15, (1, 175)), jnp.float32)
+    posed_state = deformer.prepare(state, parse_param_vector(vec))
+    pts = template.init_pcd[None]
+    xd, tf = deformer(state, posed_state, pts)
+    assert np.isfinite(np.asarray(xd)).all()
+    moved = np.abs(np.asarray(xd) - np.asarray(pts)).max()
+    assert moved > 1e-3  # pose actually moved points
+    # rotations stay near-rigid (LBS blending makes them only approximately
+    # orthonormal; bound the typical determinant drift)
+    R = np.asarray(tf)[0, :, :3, :3]
+    det = np.linalg.det(R)
+    # synthetic skeleton + voxel-smoothed weights drift more than real
+    # SMPL-X weights would; bound the drift loosely
+    assert np.median(np.abs(det - 1.0)) < 0.15
+    assert np.abs(det - 1.0).max() < 0.6
+
+
+def test_template_shapes(model, template):
+    n = template.num_gaussians
+    assert template.init_uv.shape == (n, 2)
+    assert template.init_rot.shape == (n, 3, 3)
+    assert template.init_lbsw.shape[0] == n
+    # TBN frames orthonormal
+    R = np.asarray(template.init_rot)
+    eye = np.broadcast_to(np.eye(3), R.shape)
+    np.testing.assert_allclose(
+        np.einsum("nij,nkj->nik", R, R), eye, atol=1e-4
+    )
+    uv = np.asarray(template.init_uv)
+    assert uv.min() >= 0.0 and uv.max() <= 1.0
+
+
+def test_parents_table_valid():
+    assert SMPLX_PARENTS.shape == (55,)
+    assert SMPLX_PARENTS[0] == -1
+    assert (SMPLX_PARENTS[1:] < np.arange(1, 55)).all()

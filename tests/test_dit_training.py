@@ -1,0 +1,89 @@
+"""DiT trainer + sampling pipeline smoke tests (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sigman_release_tpu.config import PRESETS
+from sigman_release_tpu.models.encoders import ViTFeatureEncoder
+from sigman_release_tpu.models.vae import VAEModel
+from sigman_release_tpu.parallel.mesh import make_mesh, shard_batch
+from sigman_release_tpu.training.dit_trainer import DiTTrainer
+
+CFG = PRESETS["test_tiny"].replace(
+    num_views=2, num_input_views=2, batch_size=1,
+    num_layers=1, num_attention_heads=2, attention_head_dim=8,
+    text_embed_dim=16, max_text_seq_length=4, time_embed_dim=16,
+    sample_height=8, sample_width=8, lr_warmup_steps=2,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    vae = VAEModel(CFG)
+    H, V = CFG.input_size, CFG.num_input_views
+    vae_params = vae.init(
+        {"params": key, "sample": key},
+        jnp.zeros((1, V, 9, H, H)), jnp.zeros((1, 3, H, H)), key,
+    )
+    enc = ViTFeatureEncoder(embed_dim=CFG.text_embed_dim, depth=1, heads=2,
+                            patch_size=16)
+    enc_params = enc.init(jax.random.PRNGKey(1), jnp.zeros((1, 3, 64, 64)))
+    trainer = DiTTrainer(CFG, vae_params=vae_params, encoder_params=enc_params,
+                         mesh=make_mesh((1,), ("data",)))
+    trainer.encoder = enc
+    state = trainer.init_state(jax.random.PRNGKey(2))
+    return trainer, state
+
+
+def _batch():
+    rng = np.random.default_rng(0)
+    H, V = CFG.input_size, CFG.num_input_views
+    return {
+        "input": rng.normal(0, 1, (1, V, 9, H, H)).astype(np.float32),
+        "UV_inital": rng.uniform(0, 1, (1, 3, H, H)).astype(np.float32),
+        "sapiens_input": rng.normal(0, 1, (1, 3, H, H)).astype(np.float32),
+    }
+
+
+def test_dit_train_step(setup):
+    trainer, state = setup
+    sharded = shard_batch(_batch(), trainer.mesh)
+    new_state, logs = trainer.train_step(state, sharded, jax.random.PRNGKey(0))
+    assert np.isfinite(float(logs["loss"]))
+    assert int(new_state.step) == 1
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(new_state.params)[0]
+    assert np.abs(np.asarray(b - a)).max() > 0
+
+
+def test_dit_sampling(setup):
+    trainer, state = setup
+    cond = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (1, 3, CFG.input_size,
+                                               CFG.input_size)), jnp.float32)
+    latents = trainer.sample(state, cond, jax.random.PRNGKey(3),
+                             num_inference_steps=3)
+    assert latents.shape == (1, CFG.latent_channels, CFG.sample_height,
+                             CFG.sample_width)
+    assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_cfg_changes_result(setup):
+    trainer, state = setup
+    cond = jnp.ones((1, 3, CFG.input_size, CFG.input_size))
+    enc_cond = trainer.encoder.apply(trainer.encoder_params, cond)
+
+    def dit_apply(params, lat, c, t):
+        return trainer.model.apply(params, lat, c, t)
+
+    k = jax.random.PRNGKey(0)
+    l1 = trainer.pipeline.sample_latents(dit_apply, state.params, enc_cond, k,
+                                         num_inference_steps=2,
+                                         guidance_scale=1.0)
+    l2 = trainer.pipeline.sample_latents(dit_apply, state.params, enc_cond, k,
+                                         num_inference_steps=2,
+                                         guidance_scale=5.0)
+    assert np.abs(np.asarray(l1 - l2)).max() > 1e-6

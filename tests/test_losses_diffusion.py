@@ -1,0 +1,145 @@
+"""Losses, metrics, schedulers, PLY IO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigman_release_tpu.config import PRESETS
+from sigman_release_tpu.diffusion.ddim import DDIMScheduler
+from sigman_release_tpu.diffusion.flow_matching import FlowScheduler
+from sigman_release_tpu.losses.gan import (
+    PatchDiscriminator,
+    hinge_d_loss,
+    hinge_g_loss,
+)
+from sigman_release_tpu.losses.lpips import LPIPS
+from sigman_release_tpu.losses.metrics import masked_psnr, psnr, ssim
+from sigman_release_tpu.utils.ply import load_ply, save_ply
+
+CFG = PRESETS["test_tiny"]
+
+
+def test_psnr_ssim_identity():
+    img = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (3, 32, 32)),
+                      jnp.float32)
+    assert float(psnr(img, img)) > 80
+    assert abs(float(ssim(img, img)) - 1.0) < 1e-5
+    noisy = jnp.clip(img + 0.1, 0, 1)
+    assert float(psnr(img, noisy)) < 25
+    assert float(ssim(img, noisy)) < 1.0
+
+
+def test_masked_psnr_ignores_outside():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 3, 16, 16)), jnp.float32)
+    mask = jnp.zeros((1, 1, 16, 16)).at[:, :, 4:12, 4:12].set(1.0)
+    noisy = img + 10.0 * (1 - mask)  # corrupt only outside mask
+    assert float(masked_psnr(noisy, img, mask)) > 60
+
+
+def test_ddim_add_noise_and_velocity_roundtrip():
+    s = DDIMScheduler()
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (2, 4, 8, 8))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = jnp.array([100, 700], jnp.int32)
+    xt = s.add_noise(x0, noise, t)
+    v = s.get_velocity(x0, noise, t)
+    # identity: sqrt(a)*xt - sqrt(1-a)*v == x0 (v-pred inversion)
+    a = s.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+    x0_rec = jnp.sqrt(a) * xt - jnp.sqrt(1 - a) * v
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-5)
+
+
+def test_ddim_zero_snr_terminal():
+    s = DDIMScheduler(rescale_betas_zero_snr=True)
+    assert float(s.alphas_cumprod[-1]) < 1e-10  # zero terminal SNR
+    s2 = DDIMScheduler(rescale_betas_zero_snr=False)
+    assert float(s2.alphas_cumprod[-1]) > 1e-10
+
+
+def test_ddim_trailing_timesteps():
+    s = DDIMScheduler()
+    ts = np.asarray(s.timesteps(30))
+    assert ts[0] == 999 and len(ts) == 30
+    assert (np.diff(ts) < 0).all()
+
+
+def test_ddim_perfect_model_denoises():
+    """If the model predicts the true v, sampling recovers x0."""
+    s = DDIMScheduler()
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (1, 4, 4, 4)) * 0.5
+    ts = s.timesteps(10)
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+    lat = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    for i in range(10):
+        t = ts[i]
+        a = s.alphas_cumprod[t]
+        # true v for current sample given target x0
+        eps = (lat - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+        v = jnp.sqrt(a) * eps - jnp.sqrt(1 - a) * x0
+        v = jnp.sqrt(a) * eps - jnp.sqrt(1 - a) * x0
+        lat = s.step(v, t, ts_prev[i], lat)
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(x0), atol=1e-3)
+
+
+def test_flow_scheduler_euler_path():
+    s = FlowScheduler()
+    x0 = jnp.ones((1, 2, 2, 2))
+    noise = jnp.zeros_like(x0)
+    v = s.velocity_target(x0, noise)  # = -x0
+    # start at noise (t=1), integrate to t=0 -> x0
+    lat = noise
+    ts = np.linspace(1.0, 0.0, 11)
+    for i in range(10):
+        lat = s.step(v, ts[i], ts[i + 1], lat)
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(x0), atol=1e-5)
+
+
+def test_hinge_losses():
+    real = jnp.ones((4, 4, 4, 1)) * 2.0
+    fake = -jnp.ones((4, 4, 4, 1)) * 2.0
+    assert float(hinge_d_loss(real, fake)) == 0.0  # perfectly separated
+    assert float(hinge_g_loss(fake)) == 2.0
+
+
+def test_discriminator_shapes():
+    disc = PatchDiscriminator(ndf=16, n_layers=3)
+    x = jnp.zeros((1, 2, 3, 64, 64))
+    params = disc.init(jax.random.PRNGKey(0), x)
+    out = disc.apply(params, x)
+    assert out.shape[0] == 2 and out.shape[-1] == 1
+
+
+def test_lpips_zero_for_identical():
+    lp = LPIPS()
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (1, 3, 64, 64)),
+                    jnp.float32)
+    params = lp.init(jax.random.PRNGKey(0), x, x)
+    d_same = lp.apply(params, x, x)
+    np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-6)
+    y = jnp.clip(x + 0.5, -1, 1)
+    d_diff = lp.apply(params, x, y)
+    assert float(d_diff[0]) > 1e-6
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 64
+    g = np.concatenate(
+        [rng.normal(0, 1, (n, 3)),                   # xyz
+         rng.uniform(0.1, 1, (n, 1)),                # opacity
+         rng.uniform(0.01, 0.1, (n, 3)),             # scale
+         rng.normal(0, 1, (n, 4)),                   # quat
+         rng.uniform(0, 1, (n, 3))],                 # rgb
+        axis=1,
+    ).astype(np.float32)
+    path = str(tmp_path / "g.ply")
+    written = save_ply(g, path, compatible=True)
+    assert written == n
+    g2 = load_ply(path, compatible=True)
+    np.testing.assert_allclose(g2[:, 0:3], g[:, 0:3], atol=1e-5)
+    np.testing.assert_allclose(g2[:, 3:4], g[:, 3:4], atol=1e-4)
+    np.testing.assert_allclose(g2[:, 4:7], g[:, 4:7], rtol=1e-4)
+    np.testing.assert_allclose(g2[:, 11:14], g[:, 11:14], atol=1e-5)

@@ -95,11 +95,11 @@ def test_backward_matches_dense():
 
 
 def test_overflow_reported_when_budget_tiny():
-    means, cov3d, colors, opa, cv, cvp = _inputs(n=96)
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=512)
     cfg = RasterizeConfig(
         img_h=64, img_w=64, tan_half_fovx=TH, tan_half_fovy=TH,
         chunk=32, interpret=True, pair_budget_factor=1,
     )
     out = rasterize_single(means, cov3d, colors, opa, cv, cvp, jnp.ones(3), cfg)
-    # 96 gaussians x ~4 tiles each >> budget of 96 pairs/view
+    # 512 gaussians x multiple tiles each >> budget (512 + per-tile headroom)
     assert int(out["overflow"]) > 0

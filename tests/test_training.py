@@ -1,0 +1,94 @@
+"""End-to-end training smoke tests (tiny config, CPU, interpret-mode Pallas)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sigman_release_tpu.config import PRESETS
+from sigman_release_tpu.data import DataLoader, SyntheticAvatarDataset
+from sigman_release_tpu.parallel.mesh import make_mesh, shard_batch
+from sigman_release_tpu.training.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    tolerant_restore,
+)
+from sigman_release_tpu.training.vae_trainer import VAETrainer
+
+CFG = PRESETS["test_tiny"].replace(num_views=2, num_input_views=2)
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    return VAETrainer(CFG, interpret=True, mesh=make_mesh((1,), ("data",)))
+
+
+@pytest.fixture(scope="module")
+def batch():
+    ds = SyntheticAvatarDataset(CFG, n_items=1)
+    loader = DataLoader(ds, batch_size=1, shuffle=False, num_workers=1)
+    return next(iter(loader))
+
+
+def test_vae_train_step_runs_and_updates(trainer, batch):
+    key = jax.random.PRNGKey(0)
+    state, lpips_params = trainer.init_state(key)
+    sharded = shard_batch(batch, trainer.mesh)
+    new_state, logs = trainer.train_step_g(state, sharded, lpips_params, key)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(logs["loss"]))
+    assert float(logs["L1"]) > 0
+    # parameters actually moved
+    before = jax.tree.leaves(state.params)[0]
+    after = jax.tree.leaves(new_state.params)[0]
+    assert np.abs(np.asarray(after - before)).max() > 0
+
+
+def test_vae_disc_step(trainer, batch):
+    key = jax.random.PRNGKey(0)
+    state, _ = trainer.init_state(key)
+    sharded = shard_batch(batch, trainer.mesh)
+    new_state, logs = trainer.train_step_d(state, sharded, key)
+    assert np.isfinite(float(logs["GAN_D"]))
+    # generator untouched by D step
+    b = jax.tree.leaves(state.params)[0]
+    a = jax.tree.leaves(new_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer):
+    key = jax.random.PRNGKey(0)
+    state, _ = trainer.init_state(key)
+    path = str(tmp_path / "state.msgpack")
+    save_checkpoint(path, state)
+    merged = tolerant_restore(state, load_checkpoint(path), verbose=False)
+    assert type(merged) is type(state)
+    for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tolerant_restore_shape_mismatch():
+    target = {"a": np.zeros((2, 2)), "b": np.zeros(3)}
+    loaded = {"a": np.ones((2, 2)), "b": np.ones(4)}
+    out = tolerant_restore(target, loaded, verbose=False)
+    np.testing.assert_array_equal(out["a"], 1.0)
+    np.testing.assert_array_equal(out["b"], 0.0)  # kept init
+
+
+def test_multidevice_dp_step(batch):
+    """Full train step over the 8-virtual-device data mesh."""
+    n = jax.device_count()
+    assert n == 8, f"conftest should provide 8 cpu devices, got {n}"
+    mesh = make_mesh((8,), ("data",))
+    cfg = CFG.replace(batch_size=8)
+    tr = VAETrainer(cfg, interpret=True, mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    state, lpips_params = tr.init_state(key)
+    big = {k: (np.repeat(v, 8, axis=0) if isinstance(v, np.ndarray) else v)
+           for k, v in batch.items()}
+    sharded = shard_batch(big, mesh)
+    new_state, logs = tr.train_step_g(state, sharded, lpips_params, key)
+    assert np.isfinite(float(logs["loss"]))
+    # updated params are replicated (same on all devices)
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()

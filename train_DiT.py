@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""DiT training entry point (latent diffusion over the frozen VAE).
+
+Usage (mirrors /root/reference/train_DiT.py):
+    python train_DiT.py dit --batch_size 8 --vae_path ./workspace/vae_state.msgpack
+"""
+
+import os
+
+import jax
+
+from sigman_release_tpu.config import parse_cli
+from sigman_release_tpu.data import DataLoader, HGSDataset, SyntheticAvatarDataset, shard_for_host
+from sigman_release_tpu.parallel.mesh import initialize_multihost
+from sigman_release_tpu.training.checkpoint import load_checkpoint
+from sigman_release_tpu.training.dit_trainer import DiTTrainer
+
+
+def main():
+    cfg = parse_cli(default_preset="dit")
+    initialize_multihost(
+        coordinator=os.environ.get("COORDINATOR_ADDRESS"),
+        num_processes=int(os.environ.get("NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("PROCESS_ID", "0")),
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+
+    # frozen VAE + conditioning encoder
+    from sigman_release_tpu.models.encoders import ViTFeatureEncoder
+    from sigman_release_tpu.models.vae import VAEModel
+    import jax.numpy as jnp
+
+    vae = VAEModel(cfg)
+    k1, k2, k3 = jax.random.split(key, 3)
+    H, V = cfg.input_size, cfg.num_input_views
+    vae_params = vae.init(
+        {"params": k1, "sample": k1},
+        jnp.zeros((1, V, 9, H, H)), jnp.zeros((1, 3, H, H)), k1,
+    )
+    if cfg.vae_path and os.path.exists(cfg.vae_path):
+        loaded = load_checkpoint(cfg.vae_path)
+        if "params" in loaded:
+            from sigman_release_tpu.training.checkpoint import tolerant_restore
+            vae_params = tolerant_restore(
+                jax.tree.map(lambda x: x, vae_params), loaded["params"]
+            )
+    encoder = ViTFeatureEncoder(embed_dim=cfg.text_embed_dim)
+    enc_params = encoder.init(k2, jnp.zeros((1, 3, 256, 256)))
+
+    trainer = DiTTrainer(cfg, vae_params=vae_params, encoder_params=enc_params)
+    state = trainer.init_state(k3)
+    if cfg.resume:
+        state = trainer.resume(state, cfg.resume)
+
+    if cfg.synthetic_data:
+        dataset = SyntheticAvatarDataset(cfg, n_items=cfg.synthetic_items)
+    else:
+        dataset = HGSDataset(cfg, training=True)
+        dataset.items = shard_for_host(dataset.items)
+    loader = DataLoader(dataset, cfg.batch_size, num_workers=cfg.num_workers,
+                        seed=cfg.seed)
+
+    os.makedirs(cfg.workspace, exist_ok=True)
+    steps_per_epoch = max(1, len(loader))
+    trainer.fit(
+        loader, state,
+        num_steps=cfg.num_epochs * steps_per_epoch,
+        log_every=cfg.log_every,
+        ckpt_path=os.path.join(cfg.workspace, "dit_state.msgpack"),
+    )
+
+
+if __name__ == "__main__":
+    main()
