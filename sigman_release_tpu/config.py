@@ -152,7 +152,8 @@ PRESETS = {
                         attention_head_dim=16, num_layers=2, sample_height=8,
                         sample_width=8, in_channels=4, out_channels=4,
                         text_embed_dim=32, max_text_seq_length=8, time_embed_dim=32,
-                        batch_size=1, synthetic_data=True),
+                        batch_size=1, synthetic_data=True,
+                        mixed_precision="no"),
 }
 
 

@@ -40,7 +40,8 @@ class SamplePipeline:
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "dit_apply",
-                                                 "num_inference_steps"))
+                                                 "num_inference_steps",
+                                                 "guidance_scale"))
     def sample_latents(
         self,
         dit_apply: Callable,          # (params, latent, cond, t[B]) -> v

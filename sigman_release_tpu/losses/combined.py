@@ -72,7 +72,10 @@ class VAELoss:
 
         loss_kl = jnp.mean(posterior.kl()) * cfg.lambda_kl
 
-        if self.disc_apply is not None:
+        # static skip when the gate can never open (e.g. compile smoke runs)
+        disc_active = (self.disc_apply is not None
+                       and cfg.disc_start < 10 ** 9)
+        if disc_active:
             logits_fake = self.disc_apply(disc_params, pred)
             g_loss = hinge_g_loss(logits_fake)
         else:

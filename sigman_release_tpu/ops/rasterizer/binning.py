@@ -1,28 +1,24 @@
-"""Static-shape, scatter-free tile binning for the Pallas rasterizer.
+"""Static-shape tile binning for the Pallas rasterizer — TPU-profiled design.
 
-The CUDA rasterizer builds per-tile Gaussian lists with device-wide prefix
-sums + radix sort. A naive XLA port (sort 1.8M (tile,depth) keys + scatter
-rows into place) loses: TPU scatter serializes (~50 ms for 450k rows — the
-dominant cost of the whole render). This design uses only primitives that are
-fast on TPU (measured): argsort-50k 1.7 ms, 500k-key sort 2-6 ms, gathers
-4 ms, (N,256) cumsum 2.5 ms.
+The CUDA rasterizer radix-sorts (tile, depth) pairs on-GPU. On TPU the
+XLA primitives have wildly different costs (measured on v5e, 50k gaussians,
+512^2): non-stable 1.8M-key sort 5.7 ms, VMEM-resident row gathers ~4 ms,
+but *stable* sorts ~10x slower, scalar gathers from HBM-resident tables
+~40 ms, and scatter ~50 ms. This binning therefore uses ONE non-stable key
+sort and only small-table lookups / row gathers, and NO scatter anywhere
+(forward or backward):
 
-Pipeline (per view):
-1. depth-argsort the gaussians once; permute their feature rows (custom VJP:
-   the backward of a permutation gather is the inverse-permutation gather —
-   no scatter),
-2. each gaussian claims a win x win window of tiles anchored at its screen
-   rect; a dense [N, n_tiles] window-indicator matrix M gives
-   * per-tile counts (column sums) and
-   * per-(gaussian, tile) depth ranks (exclusive column cumsum) — so each
-     candidate knows its destination row ``aligned_start[tile] + rank``
-   with NO sort over candidates,
-3. "placement by sort": candidate destinations + per-tile filler rows are
-   sorted ONCE by destination; the sorted order is a gather index that
-   materialises the chunk-aligned [NC, 16, chunk] pair buffer. Its VJP is a
-   pure gather at the destination table,
-4. per-gaussian gradients come back through the window broadcast (sum over
-   the window axis — uniform segments, no segment-sum scatter).
+1. depth-argsort the gaussians; n = position in depth order,
+2. each gaussian emits up to ``win^2`` window candidates with key
+   ``tile * N + n`` (invalid -> INT_MAX); one sort of the keys yields, per
+   tile, a contiguous run in depth order — the key itself encodes
+   (tile, gaussian) so no payload sort is needed,
+3. per-tile counts come from a searchsorted over 257 boundaries; segments
+   are re-laid chunk-aligned by computing, for every OUTPUT row, its source
+   sorted-position (binary search over 256 starts + row gather) — placement
+   is a gather, never a scatter,
+4. the backward re-groups output-row cotangents per gaussian with one
+   433k-key sort + uniform (N, win^2) padded segments, then a plain sum.
 
 Overflow (window cap or pair budget) is counted and returned, never silent.
 """
@@ -43,6 +39,8 @@ from sigman_release_tpu.ops.rasterizer.preprocess import ProjectedGaussians
 F_MX, F_MY, F_CA, F_CB, F_CC, F_R, F_G, F_B, F_OPA, F_DEPTH = range(10)
 PAIR_FEATS = 16
 
+BIG = jnp.int32(2147483647)
+
 
 class TileBinning(NamedTuple):
     """Chunk-aligned per-tile pair segments (see module docstring)."""
@@ -55,60 +53,69 @@ class TileBinning(NamedTuple):
     overflow: jnp.ndarray     # [] int32 — dropped (gaussian, tile) pairs
 
 
-def _placement_index(dest: jnp.ndarray, p_alloc: int) -> jnp.ndarray:
-    """dest [C] -> out_idx [P_alloc]: source row for each output row, or C.
+def _small_table_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table [T] (T small), idx [...] -> table[idx] via masked reduce.
 
-    One stable sort over (real destinations | one filler per output row); a
-    real entry with dest == r sorts before row r's filler, so the first entry
-    at each key is the winner. No scatter anywhere.
+    XLA TPU lowers big scalar gathers poorly; a compare+select+sum over a
+    <=256-entry table is a fused VPU loop instead.
     """
-    C = dest.shape[0]
-    big = jnp.int32(2147483647)
-    filler = jnp.arange(p_alloc, dtype=jnp.int32)
-    keys = jnp.concatenate([jnp.minimum(dest, big), filler])
-    src = jnp.concatenate([
-        jnp.arange(C, dtype=jnp.int32),
-        jnp.full((p_alloc,), C, jnp.int32),        # sentinel -> zero row
-    ])
-    keys_sorted, src_sorted = lax.sort_key_val(keys, src, is_stable=True)
-    first = jnp.searchsorted(
-        keys_sorted, jnp.arange(p_alloc, dtype=jnp.int32), side="left"
+    t_axis = jnp.arange(table.shape[0], dtype=jnp.int32)
+    flat = idx.reshape(-1, 1)
+    out = jnp.sum(
+        jnp.where(t_axis[None, :] == flat, table[None, :], 0), axis=1
     )
-    return src_sorted[jnp.clip(first, 0, keys_sorted.shape[0] - 1)]
+    return out.reshape(idx.shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _place_rows(rows, dest, out_idx, maxt, p_alloc):
-    """rows [N,F] -> [P_alloc,F]: output row r takes gaussian row
-    ``out_idx[r] // maxt`` (out_idx == N*maxt -> zero row). The per-gaussian
-    candidate array is never materialised.
-
-    VJP: each gaussian sums the output-row cotangents at its window
-    destinations ``dest [N, maxt]`` — pure gathers, no scatter.
-    """
-    src_padded = jnp.concatenate([rows, jnp.zeros((1, rows.shape[1]),
-                                                  rows.dtype)])
-    n = rows.shape[0]
-    gauss = jnp.minimum(out_idx // maxt, n)
-    return src_padded[gauss]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _layout_pairs(rows16, gauss_row_f, valid_f, maxt, p_alloc):
+    """Differentiable pair layout: output row r takes gaussian row
+    ``gauss_row_f[r]`` when ``valid_f[r]`` (both float-encoded so the
+    custom VJP has purely-float signatures). The VJP regroups output-row
+    cotangents per gaussian without scatters."""
+    n = rows16.shape[0]
+    src = jnp.concatenate([rows16, jnp.zeros((1, rows16.shape[1]),
+                                             rows16.dtype)])
+    idx = jnp.where(valid_f > 0, gauss_row_f.astype(jnp.int32), n)
+    return src[idx]
 
 
-def _place_rows_fwd(rows, dest, out_idx, maxt, p_alloc):
-    return _place_rows(rows, dest, out_idx, maxt, p_alloc), dest
+def _layout_fwd(rows16, gauss_row_f, valid_f, maxt, p_alloc):
+    out = _layout_pairs(rows16, gauss_row_f, valid_f, maxt, p_alloc)
+    return out, (gauss_row_f, valid_f, rows16.shape[0])
 
 
-def _place_rows_bwd(p_alloc, dest, g):
-    ok = dest < p_alloc
-    idx = jnp.where(ok, dest, 0)
-    d = jnp.where(ok[..., None], g[idx], 0.0)     # [N, maxt, F]
-    return (jnp.sum(d, axis=1), None, None, None)
+def _layout_bwd(maxt, p_alloc, res, g):
+    """Group g's rows by gaussian with one sort; uniform maxt-padded segments
+    turn the variable-length reduction into a reshape+sum (no scatter)."""
+    gauss_row_f, valid_f, n = res
+    r_idx = jnp.arange(p_alloc, dtype=jnp.int32)
+    key = jnp.where(valid_f > 0, gauss_row_f.astype(jnp.int32), n)
+    key_sorted, r_sorted = lax.sort_key_val(key, r_idx)
+    starts = jnp.searchsorted(
+        key_sorted, jnp.arange(n, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    ends = jnp.searchsorted(
+        key_sorted, jnp.arange(1, n + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    offs = jnp.arange(maxt, dtype=jnp.int32)
+    pos = starts[:, None] + offs[None, :]
+    in_seg = pos < ends[:, None]
+    pos = jnp.clip(pos, 0, p_alloc - 1)
+    rows = r_sorted[pos.reshape(-1)]
+    rows = jnp.where(in_seg.reshape(-1), rows, p_alloc)
+    gpad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
+    d = gpad[rows].reshape(n, maxt, -1)
+    return (jnp.sum(d, axis=1), jnp.zeros_like(gauss_row_f),
+            jnp.zeros_like(valid_f))
 
 
-_place_rows.defvjp(_place_rows_fwd, _place_rows_bwd)
+_layout_pairs.defvjp(_layout_fwd, _layout_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
+@jax.custom_vjp
 def _perm_gather(x, perm, inv_perm):
+    """x[perm] whose VJP is the inverse-permutation gather (no scatter)."""
     return x[perm]
 
 
@@ -144,10 +151,11 @@ def bin_gaussians(
     if pair_budget is None:
         pair_budget = 8 * n
     p_alloc = -(-pair_budget // chunk) * chunk + n_tiles * chunk
+    assert (n_tiles + 1) * n < 2 ** 31, "key overflows int32"
 
     # ---- 1. depth order ----------------------------------------------------
     perm = jnp.argsort(
-        jnp.where(proj.valid, proj.depth, jnp.inf), stable=True
+        jnp.where(proj.valid, proj.depth, jnp.inf)
     ).astype(jnp.int32)
     inv_perm = jnp.argsort(perm).astype(jnp.int32)
 
@@ -159,36 +167,41 @@ def bin_gaussians(
          proj.depth],
         axis=-1,
     ).astype(jnp.float32)                                   # [N,10]
-    sorted10 = _perm_gather(feats10, perm, inv_perm)
 
     mean2d = proj.mean2d[perm]
     radius = proj.radius[perm]
     valid = proj.valid[perm]
 
-    # ---- 2. window rects + indicator matrix --------------------------------
+    # ---- 2. window candidates + one key sort -------------------------------
     x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_size), 0, ntx)
     y0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_size), 0, nty)
     x1 = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / tile_size) + 1, 0, ntx)
     y1 = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / tile_size) + 1, 0, nty)
     x0, y0, x1, y1 = (a.astype(jnp.int32) for a in (x0, y0, x1, y1))
-    x1c = jnp.minimum(x1, x0 + win)                          # window cap
+    x1c = jnp.minimum(x1, x0 + win)
     y1c = jnp.minimum(y1, y0 + win)
     overflow = jnp.sum(
         jnp.where(valid, (x1 - x0) * (y1 - y0) - (x1c - x0) * (y1c - y0), 0)
     ).astype(jnp.int32)
 
-    tx_axis = jnp.arange(ntx, dtype=jnp.int32)
-    ty_axis = jnp.arange(nty, dtype=jnp.int32)
-    xm = (tx_axis[None] >= x0[:, None]) & (tx_axis[None] < x1c[:, None])
-    ym = (ty_axis[None] >= y0[:, None]) & (ty_axis[None] < y1c[:, None])
-    M = (ym[:, :, None] & xm[:, None, :] & valid[:, None, None]).reshape(
-        n, n_tiles
+    li = jnp.arange(maxt, dtype=jnp.int32)
+    lx = li % win
+    ly = li // win
+    tx = x0[:, None] + lx[None]
+    ty = y0[:, None] + ly[None]
+    cand_ok = (tx < x1c[:, None]) & (ty < y1c[:, None]) & valid[:, None]
+    tile_id = ty * ntx + tx
+    n_idx = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(cand_ok, tile_id * n + n_idx[:, None], BIG).reshape(-1)
+    keys_sorted = lax.sort(keys)                             # ONE sort
+
+    # ---- 3. per-tile segments ----------------------------------------------
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * n
+    raw_start = jnp.searchsorted(keys_sorted, bounds, side="left").astype(
+        jnp.int32
     )
-
-    counts = jnp.sum(M, axis=0, dtype=jnp.int32)             # [T]
-    rank_incl = jnp.cumsum(M.astype(jnp.int32), axis=0)
-    rank = rank_incl - M.astype(jnp.int32)                   # exclusive
-
+    counts = raw_start[1:] - raw_start[:-1]                  # [T]
+    raw_start = raw_start[:-1]
     seg_pad = -(-counts // chunk) * chunk
     seg_end = jnp.cumsum(seg_pad)
     aligned_start = (seg_end - seg_pad).astype(jnp.int32)
@@ -197,37 +210,36 @@ def bin_gaussians(
     tile_count = jnp.where(fits, counts, 0).astype(jnp.int32)
     tile_start = jnp.where(fits, aligned_start, 0).astype(jnp.int32)
 
-    # ---- 3. candidate destinations -----------------------------------------
-    li = jnp.arange(maxt, dtype=jnp.int32)
-    lx = li % win
-    ly = li // win
-    tx = x0[:, None] + lx[None]
-    ty = y0[:, None] + ly[None]
-    cand_ok = (tx < x1c[:, None]) & (ty < y1c[:, None]) & valid[:, None]
-    tile_id = jnp.clip(ty * ntx + tx, 0, n_tiles - 1)        # [N,maxt]
-    cand_ok = cand_ok & fits[tile_id]
+    # ---- 4. gather-based aligned placement ---------------------------------
+    r_idx = jnp.arange(p_alloc, dtype=jnp.int32)
+    # which tile owns output row r (binary search over 256 aligned starts)
+    t_of_r = (
+        jnp.searchsorted(aligned_start, r_idx, side="right") - 1
+    ).astype(jnp.int32)
+    t_of_r = jnp.clip(t_of_r, 0, n_tiles - 1)
+    astart_r = _small_table_lookup(aligned_start, t_of_r)
+    rstart_r = _small_table_lookup(raw_start, t_of_r)
+    count_r = _small_table_lookup(tile_count, t_of_r)
+    r_off = r_idx - astart_r
+    valid_out = r_off < count_r
+    sorted_pos = jnp.clip(rstart_r + r_off, 0, keys.shape[0] - 1)
+    key_at = keys_sorted[sorted_pos]                         # row gather
+    gauss_row = key_at % n                                   # depth-order row
 
-    # flat 1D gather (take_along_axis lowers ~5x slower on TPU)
-    flat = (jnp.arange(n, dtype=jnp.int32)[:, None] * n_tiles + tile_id)
-    rank_at = rank.reshape(-1)[flat.reshape(-1)].reshape(n, maxt)
-    dest = jnp.where(
-        cand_ok, aligned_start[tile_id] + rank_at, jnp.int32(2147483647)
-    )                                                        # [N,maxt]
-
-    # ---- 4. placement by sort ---------------------------------------------
-    out_idx = _placement_index(dest.reshape(-1), p_alloc)
-    sorted16 = jnp.pad(sorted10, ((0, 0), (0, PAIR_FEATS - 10)))
-    placed = _place_rows(sorted16, dest, out_idx, maxt, p_alloc)
+    rows16 = jnp.pad(
+        _perm_gather(feats10, perm, inv_perm), ((0, 0), (0, PAIR_FEATS - 10))
+    )
+    placed = _layout_pairs(
+        rows16, gauss_row.astype(jnp.float32),
+        valid_out.astype(jnp.float32), maxt, p_alloc,
+    )
     feats = placed.reshape(p_alloc // chunk, chunk, PAIR_FEATS)
     feats = jnp.swapaxes(feats, 1, 2)                        # [NC,16,chunk]
 
-    c_total = n * maxt
-    pair_valid = out_idx < c_total
     perm_pad = jnp.concatenate([perm, jnp.zeros((1,), jnp.int32)])
-    pair_gauss = jnp.where(
-        pair_valid, perm_pad[jnp.minimum(out_idx // maxt, n)], 0
-    )
+    pair_gauss = perm_pad[jnp.where(valid_out, gauss_row, n)]
+    pair_gauss = jnp.where(valid_out, pair_gauss, 0)
 
     return TileBinning(
-        feats, pair_gauss, pair_valid, tile_start, tile_count, overflow
+        feats, pair_gauss, valid_out, tile_start, tile_count, overflow
     )

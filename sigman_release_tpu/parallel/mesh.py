@@ -44,8 +44,9 @@ def make_mesh(shape: Sequence[int] = (-1,),
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1])) or 1
         shape[shape.index(-1)] = n // known
-    assert int(np.prod(shape)) == n, (shape, n)
-    return Mesh(devices.reshape(shape), tuple(axes))
+    want = int(np.prod(shape))
+    assert want <= n, (shape, n)
+    return Mesh(devices.reshape(-1)[:want].reshape(shape), tuple(axes))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

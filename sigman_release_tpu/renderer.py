@@ -100,25 +100,24 @@ class GaussianRenderer:
         from sigman_release_tpu.ops.rasterizer.reference import render_dense
 
         rc = self.raster_cfg
-        B, V = cam_view.shape[:2]
-        imgs, alphas, depths = [], [], []
-        for b in range(B):
-            outs = [
-                render_dense(
-                    pos[b], cov3d[b], rgb[b], opacity[b],
-                    cam_view[b, v], cam_view_proj[b, v],
-                    rc.tan_half_fovx, rc.tan_half_fovy, rc.img_h, rc.img_w,
-                    bg_color=bg_color,
-                )
-                for v in range(V)
-            ]
-            imgs.append(jnp.stack([o["image"] for o in outs]))
-            alphas.append(jnp.stack([o["alpha"] for o in outs]))
-            depths.append(jnp.stack([o["depth"] for o in outs]))
+
+        def one_view(p, c, col, o, cv, cvp):
+            return render_dense(
+                p, c, col, o, cv, cvp,
+                rc.tan_half_fovx, rc.tan_half_fovy, rc.img_h, rc.img_w,
+                bg_color=bg_color,
+            )
+
+        # vmap over views then batch — keeps the graph size constant
+        # regardless of B x V (an unrolled loop explodes SPMD compile time)
+        per_batch = jax.vmap(one_view, in_axes=(None, None, None, None, 0, 0))
+        out = jax.vmap(per_batch, in_axes=(0, 0, 0, 0, 0, 0))(
+            pos, cov3d, rgb, opacity, cam_view, cam_view_proj
+        )
         return {
-            "image": jnp.stack(imgs),
-            "alpha": jnp.stack(alphas),
-            "depth": jnp.stack(depths),
+            "image": out["image"],
+            "alpha": out["alpha"],
+            "depth": out["depth"],
             "overflow": jnp.zeros((), jnp.int32),
         }
 

@@ -41,8 +41,9 @@ class DiTTrainState(NamedTuple):
 
 class DiTTrainer:
     def __init__(self, cfg: Config, vae_params=None, encoder_params=None,
-                 mesh=None):
+                 mesh=None, spmd: Optional[str] = None):
         self.cfg = cfg
+        self.spmd = spmd or "shard_map"
         self.model = DiTModel(cfg)
         self.vae = VAEModel(cfg)
         self.vae_params = vae_params            # frozen
@@ -82,7 +83,7 @@ class DiTTrainer:
         # token count is data-dependent (no learned positions on cond tokens)
         cond = jnp.zeros((1, cfg.text_embed_dim, 16, 16))
         t = jnp.zeros((1,), jnp.int32)
-        params = self.model.init(key, latent, cond, t)
+        params = jax.jit(self.model.init)(key, latent, cond, t)
         return DiTTrainState(params, self.tx.init(params),
                              jnp.zeros((), jnp.int32))
 
@@ -107,7 +108,26 @@ class DiTTrainer:
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def train_step(self, state: DiTTrainState, batch, rng: jax.Array):
+        """SPMD via shard_map (see VAETrainer: avoids the GSPMD partitioning
+        pass and makes the gradient all-reduce an explicit pmean)."""
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.cfg.mesh_axes[0]
+        if self.spmd != "shard_map":
+            return self._local_train_step(state, batch, rng)
+        fn = jax.shard_map(
+            self._local_train_step, mesh=self.mesh,
+            in_specs=(P(), P(axis), P()), out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(state, batch, rng)
+
+    def _local_train_step(self, state: DiTTrainState, batch, rng: jax.Array):
         cfg = self.cfg
+        if self.spmd == "shard_map":
+            rng = jax.random.fold_in(
+                rng, jax.lax.axis_index(cfg.mesh_axes[0])
+            )
         k_enc, k_t, k_noise, k_drop = jax.random.split(rng, 4)
         latent, cond = self.encode_inputs(batch, k_enc)
         B = latent.shape[0]
@@ -124,8 +144,22 @@ class DiTTrainer:
 
         weights = self.scheduler.snr_weights(t).reshape(B, 1, 1, 1)
 
+        use_bf16 = cfg.mixed_precision == "bf16"
+
+        def cast(p):
+            if not use_bf16:
+                return p
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, p
+            )
+
         def loss_fn(params):
-            v_pred = self.model.apply(params, noisy, cond, t)
+            v_pred = self.model.apply(
+                cast(params),
+                noisy.astype(jnp.bfloat16 if use_bf16 else jnp.float32),
+                cond.astype(jnp.bfloat16 if use_bf16 else jnp.float32), t,
+            ).astype(jnp.float32)
             # recovered x0 from predicted v vs true latent
             a = self.scheduler.alphas_cumprod[t].reshape(B, 1, 1, 1)
             x0_pred = jnp.sqrt(a) * noisy - jnp.sqrt(1 - a) * v_pred
@@ -133,6 +167,9 @@ class DiTTrainer:
             return loss, {"loss": loss}
 
         grads, logs = jax.grad(loss_fn, has_aux=True)(state.params)
+        if self.spmd == "shard_map":
+            grads = jax.lax.pmean(grads, cfg.mesh_axes[0])
+            logs = jax.lax.pmean(logs, cfg.mesh_axes[0])
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
@@ -142,7 +179,7 @@ class DiTTrainer:
 
     def fit(self, train_loader, state: DiTTrainState,
             num_steps: Optional[int] = None, log_every: int = 10,
-            ckpt_path: Optional[str] = None):
+            ckpt_path: Optional[str] = None, logger=None):
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed + 7 + jax.process_index())
         step = int(state.step)
@@ -162,6 +199,9 @@ class DiTTrainer:
                     t0 = time.time()
                     print(f"[dit] step {step} "
                           f"loss {float(logs['loss']):.4f} ({dt:.2f}s/step)", flush=True)
+                    if logger is not None:
+                        logger.log(step, {"loss": float(logs["loss"]),
+                                          "sec_per_step": dt})
                 if ckpt_path and step % cfg.save_ckpt_steps == 0:
                     save_checkpoint(ckpt_path, state)
             if num_steps is None:

@@ -71,10 +71,17 @@ class VAETrainer:
         template: Optional[TemplateAssets] = None,
         interpret: Optional[bool] = None,
         mesh=None,
+        spmd: Optional[str] = None,
     ):
+        """``spmd``: "shard_map" (default — local program + explicit pmean,
+        the canonical Pallas-in-SPMD pattern; compiles the local program once
+        instead of paying a GSPMD partitioning pass) or "jit" (GSPMD).
+        Note for virtual CPU meshes: keep device count <= CPU cores —
+        the CPU backend's blocking collective rendezvous starves otherwise."""
         self.cfg = cfg
         if interpret is None:  # CPU has no Mosaic compiler
             interpret = jax.devices()[0].platform == "cpu"
+        self.spmd = spmd or "shard_map"
         if body_model is None:
             if cfg.smplx_model_path:
                 body_model = load_smplx_npz(cfg.smplx_model_path)
@@ -99,7 +106,11 @@ class VAETrainer:
             body_model, template.init_faces, template.init_spdir,
             template.init_podir, template.init_lbsw, weight_mask=mask,
         )
-        self.deformer_state: DeformerState = self.deformer.initialize()
+        # jit: the 55-joint kinematic chain + KNN voxel bake dispatch ~1000
+        # ops eagerly otherwise (tens of seconds on CPU)
+        self.deformer_state: DeformerState = jax.jit(
+            self.deformer.initialize
+        )()
 
         self.renderer = GaussianRenderer(cfg, interpret=interpret)
         self.model = VAEModel(cfg)
@@ -137,14 +148,16 @@ class VAETrainer:
         images = jnp.zeros((B, V, 9, H, H))
         uv = jnp.zeros((B, 3, H, H))
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        params = self.model.init({"params": k1, "sample": k2}, images, uv, k2)
-        disc_params = self.discriminator.init(
+        params = jax.jit(self.model.init)(
+            {"params": k1, "sample": k2}, images, uv, k2
+        )
+        disc_params = jax.jit(self.discriminator.init)(
             k3, jnp.zeros((1, 1, 3, cfg.output_size, cfg.output_size))
         )
         lpips_params = load_lpips_params(lpips_ckpt) if lpips_ckpt else None
         if lpips_params is None:
             x = jnp.zeros((1, 3, 64, 64))
-            lpips_params = self.lpips.init(k4, x, x)
+            lpips_params = jax.jit(self.lpips.init)(k4, x, x)
         state = TrainState(
             params=params,
             logvar=jnp.zeros((), jnp.float32),
@@ -157,13 +170,33 @@ class VAETrainer:
 
     # --------------------------------------------------------------- forward
 
+    def _cast_params(self, params):
+        """bf16 compute with f32 master weights (reference trains bf16,
+        configs/training.yaml:10-12); rasterizer geometry stays f32."""
+        if self.cfg.mixed_precision != "bf16":
+            return params
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params,
+        )
+
     def forward(self, params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
                 sample_posterior: bool = True):
         """Full differentiable forward: images -> rendered views."""
         cfg = self.cfg
         t = self.template
+        dtype = (jnp.bfloat16 if cfg.mixed_precision == "bf16"
+                 else jnp.float32)
         attr_map, posterior = self.model.apply(
-            params, batch["input"], batch["UV_inital"], rng
+            self._cast_params(params),
+            batch["input"].astype(dtype), batch["UV_inital"].astype(dtype),
+            rng,
+        )
+        attr_map = attr_map.astype(jnp.float32)
+        posterior = type(posterior)(
+            posterior.mean.astype(jnp.float32),
+            posterior.logvar.astype(jnp.float32),
         )
         attrs = sample_gaussian_attrs(attr_map, t.init_uv)
         canon = t.init_pcd[None] + attrs["offset"]
@@ -192,54 +225,105 @@ class VAETrainer:
         return outputs, posterior
 
     # ------------------------------------------------------------ train steps
+    #
+    # SPMD via shard_map (not plain sharded-jit): the local program compiles
+    # once — no GSPMD partitioning pass over the renderer graph (which blows
+    # compile time up by >20x on wide meshes) — gradients all-reduce with an
+    # explicit pmean over the data axis (rides ICI; XLA overlaps it with
+    # backward), and Pallas kernels run per-device, the canonical pattern.
+
+    def _shard_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        return P(), P(self.cfg.mesh_axes[0]), P()
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def train_step_g(self, state: TrainState, batch, lpips_params,
                      rng: jax.Array):
-        def loss_fn(diff):
-            params, logvar = diff
-            outputs, posterior = self.forward(params, batch, rng)
-            loss, logs = self.loss.generator(
-                outputs, posterior, state.step, logvar,
-                lpips_params=lpips_params, disc_params=state.disc_params,
-            )
-            logs["psnr"] = psnr(
-                jax.lax.stop_gradient(outputs["images_pred"]),
-                outputs["images_gt"],
-            )
-            return loss, logs
+        axis = self.cfg.mesh_axes[0]
+        rep, data, _ = self._shard_specs()
+        use_axis = self.spmd == "shard_map"
 
-        grads, logs = jax.grad(loss_fn, has_aux=True)(
-            (state.params, state.logvar)
+        def local_step(state, batch, lpips_params, rng):
+            if use_axis:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+            def loss_fn(diff):
+                params, logvar = diff
+                outputs, posterior = self.forward(params, batch, rng)
+                loss, logs = self.loss.generator(
+                    outputs, posterior, state.step, logvar,
+                    lpips_params=lpips_params, disc_params=state.disc_params,
+                )
+                logs["psnr"] = psnr(
+                    jax.lax.stop_gradient(outputs["images_pred"]),
+                    outputs["images_gt"],
+                )
+                return loss, logs
+
+            grads, logs = jax.grad(loss_fn, has_aux=True)(
+                (state.params, state.logvar)
+            )
+            if use_axis:
+                grads = jax.lax.pmean(grads, axis)
+                logs = jax.lax.pmean(logs, axis)
+            updates, opt_state_g = self.tx_g.update(
+                grads, state.opt_state_g, (state.params, state.logvar)
+            )
+            params, logvar = optax.apply_updates(
+                (state.params, state.logvar), updates
+            )
+            return state._replace(
+                params=params, logvar=logvar, opt_state_g=opt_state_g,
+                step=state.step + 1,
+            ), logs
+
+        if not use_axis:
+            return local_step(state, batch, lpips_params, rng)
+        fn = jax.shard_map(
+            local_step, mesh=self.mesh,
+            in_specs=(rep, data, rep, rep), out_specs=(rep, rep),
+            check_vma=False,
         )
-        updates, opt_state_g = self.tx_g.update(
-            grads, state.opt_state_g, (state.params, state.logvar)
-        )
-        params, logvar = optax.apply_updates(
-            (state.params, state.logvar), updates
-        )
-        return state._replace(
-            params=params, logvar=logvar, opt_state_g=opt_state_g,
-            step=state.step + 1,
-        ), logs
+        return fn(state, batch, lpips_params, rng)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def train_step_d(self, state: TrainState, batch, rng: jax.Array):
-        outputs, _ = self.forward(state.params, batch, rng)
-        outputs = jax.lax.stop_gradient(outputs)
+        axis = self.cfg.mesh_axes[0]
+        rep, data, _ = self._shard_specs()
+        use_axis = self.spmd == "shard_map"
 
-        def loss_fn(disc_params):
-            return self.loss.discriminator(outputs, state.step, disc_params)
+        def local_step(state, batch, rng):
+            if use_axis:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            outputs, _ = self.forward(state.params, batch, rng)
+            outputs = jax.lax.stop_gradient(outputs)
 
-        grads, logs = jax.grad(loss_fn, has_aux=True)(state.disc_params)
-        updates, opt_state_d = self.tx_d.update(
-            grads, state.opt_state_d, state.disc_params
+            def loss_fn(disc_params):
+                return self.loss.discriminator(outputs, state.step,
+                                               disc_params)
+
+            grads, logs = jax.grad(loss_fn, has_aux=True)(state.disc_params)
+            if use_axis:
+                grads = jax.lax.pmean(grads, axis)
+                logs = jax.lax.pmean(logs, axis)
+            updates, opt_state_d = self.tx_d.update(
+                grads, state.opt_state_d, state.disc_params
+            )
+            disc_params = optax.apply_updates(state.disc_params, updates)
+            return state._replace(
+                disc_params=disc_params, opt_state_d=opt_state_d,
+                step=state.step + 1,
+            ), logs
+
+        if not use_axis:
+            return local_step(state, batch, rng)
+        fn = jax.shard_map(
+            local_step, mesh=self.mesh,
+            in_specs=(rep, data, rep), out_specs=(rep, rep),
+            check_vma=False,
         )
-        disc_params = optax.apply_updates(state.disc_params, updates)
-        return state._replace(
-            disc_params=disc_params, opt_state_d=opt_state_d,
-            step=state.step + 1,
-        ), logs
+        return fn(state, batch, rng)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def eval_step(self, state: TrainState, batch, rng: jax.Array):
@@ -253,7 +337,7 @@ class VAETrainer:
 
     def fit(self, train_loader, state: TrainState, lpips_params,
             num_steps: Optional[int] = None, log_every: int = 10,
-            ckpt_path: Optional[str] = None):
+            ckpt_path: Optional[str] = None, logger=None):
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed + jax.process_index())
         step = int(state.step)
@@ -281,6 +365,8 @@ class VAETrainer:
                     dt = (time.time() - t0) / log_every
                     t0 = time.time()
                     print(f"[vae] step {step} {host_logs} ({dt:.2f}s/step)", flush=True)
+                    if logger is not None:
+                        logger.log(step, {**host_logs, "sec_per_step": dt})
                 if ckpt_path and step % cfg.save_ckpt_steps == 0:
                     save_checkpoint(ckpt_path, state)
             if num_steps is None:

@@ -16,9 +16,13 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate" not in flags:
+    # virtual devices run heavy shard_map programs with little parallelism;
+    # the CPU backend's 40s rendezvous kill-switch would abort them
+    flags = (flags + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+             + " --xla_cpu_collective_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

@@ -77,5 +77,6 @@ def test_inverse_skin_end_to_end():
     )
     v = np.asarray(valid)
     assert (v.sum(axis=1) >= 1).all()
-    err = np.linalg.norm(np.asarray(xc) - np.asarray(vox_pts)[:, None], -1)
+    err = np.linalg.norm(np.asarray(xc) - np.asarray(vox_pts)[:, None],
+                         axis=-1)
     assert err[v].max() < 1e-3
