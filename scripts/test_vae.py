@@ -33,10 +33,11 @@ def main():
     loader = DataLoader(dataset, cfg.batch_size, shuffle=False,
                         num_workers=cfg.num_workers)
 
-    psnrs, ssims = [], []
-    for batch in loader:
-        from sigman_release_tpu.parallel.mesh import shard_batch
+    from sigman_release_tpu.parallel.mesh import shard_batch
+    from sigman_release_tpu.utils.visualize import save_visualization
 
+    psnrs, ssims = [], []
+    for i, batch in enumerate(loader):
         sharded = shard_batch(batch, trainer.mesh)
         metrics, outputs = trainer.eval_step(state, sharded, key)
         psnrs.append(float(metrics["psnr"]))
@@ -46,6 +47,10 @@ def main():
             jax.numpy.asarray(pred.reshape(-1, *pred.shape[2:])),
             jax.numpy.asarray(gt.reshape(-1, *gt.shape[2:])),
         )))
+        if i < 4:
+            save_visualization(
+                outputs, os.path.join(cfg.workspace, f"eval_vis_{i:02d}.png")
+            )
     print(f"PSNR {np.mean(psnrs):.3f}  SSIM {np.mean(ssims):.4f} "
           f"({len(psnrs)} batches)")
 

@@ -28,6 +28,7 @@ class Config:
     vae_out_channels: int = 64      # decoder UV feature channels
     self_attention_layers: int = 6  # bottleneck self-attn depth
     encoder_channels: Tuple[int, ...] = (128, 256, 256, 512)
+    decoder_channels: Tuple[int, ...] = (256, 512, 512, 1024)
     bottleneck_dim: int = 512       # UV-query token width
     uv_query_size: int = 64         # learned UV-query grid (64x64 tokens)
 
@@ -148,6 +149,7 @@ PRESETS = {
                         lpips_size=64, num_views=3,
                         num_input_views=2, latent_channels=4, vae_out_channels=16,
                         self_attention_layers=1, encoder_channels=(8, 16, 16, 32),
+                        decoder_channels=(8, 16, 16, 32),
                         bottleneck_dim=32, uv_query_size=8, num_attention_heads=2,
                         attention_head_dim=16, num_layers=2, sample_height=8,
                         sample_width=8, in_channels=4, out_channels=4,

@@ -268,7 +268,8 @@ class ConvVAE(nn.Module):
             for _ in range(c.self_attention_layers)
         ]
         self.projection = nn.Dense(2 * c.latent_channels)
-        self.decoder = Decoder2D(out_channels=c.vae_out_channels)
+        self.decoder = Decoder2D(out_channels=c.vae_out_channels,
+                                 block_channels=c.decoder_channels)
 
     def encode(self, x, initial_uv) -> DiagonalGaussian:
         """x [B,V,H,W,9]; initial_uv [B,H,W,3] -> posterior over [B,h,w,Cl]."""

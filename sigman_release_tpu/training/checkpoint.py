@@ -53,8 +53,10 @@ def tolerant_restore(target: Any, loaded: Dict[str, Any],
     """Copy entries whose shapes match into ``target``'s structure; keep
     target values otherwise. Returns a pytree with target's structure."""
     tgt_sd = serialization.to_state_dict(target)
-    tgt_flat = flatten_dict(tgt_sd)
-    src_flat = flatten_dict(loaded)
+    # keep_empty_nodes: optax chain states contain EmptyState() == {} whose
+    # keys must survive the flatten/unflatten roundtrip
+    tgt_flat = flatten_dict(tgt_sd, keep_empty_nodes=True)
+    src_flat = flatten_dict(loaded, keep_empty_nodes=True)
     out = {}
     for k, v in tgt_flat.items():
         if k in src_flat and getattr(src_flat[k], "shape", None) == getattr(
