@@ -39,9 +39,12 @@ class ViTFeatureEncoder(nn.Module):
         b, gh, gw, d = x.shape
         x = x.reshape(b, gh * gw, d)
         x = x + jnp.asarray(sincos_2d(d, gh, gw))[None]
+        heads = self.heads
+        while d % heads:  # keep head count valid for small test widths
+            heads -= 1
         for _ in range(self.depth):
             h = nn.LayerNorm()(x)
-            h = nn.MultiHeadDotProductAttention(num_heads=self.heads)(h, h)
+            h = nn.MultiHeadDotProductAttention(num_heads=heads)(h, h)
             x = x + h
             h = nn.LayerNorm()(x)
             h = nn.Dense(d * 4)(h)
