@@ -45,6 +45,9 @@ def main():
     cfg = RasterizeConfig(
         img_h=hw, img_w=hw, tan_half_fovx=th, tan_half_fovy=th,
         chunk=128, interpret=on_cpu,
+        # avatar-scale gaussians span <=4 tiles per axis; the smaller window
+        # halves every candidate-sized binning op (PERF.md roadmap item 1)
+        max_tiles_per_gaussian=16,
     )
     means = jnp.asarray(g["means3d"])
     colors = jnp.asarray(g["colors"])

@@ -335,9 +335,30 @@ class VAETrainer:
 
     # ------------------------------------------------------------------ fit
 
+    def evaluate(self, state: TrainState, eval_loader, key,
+                 max_batches: int = 8, vis_path: Optional[str] = None):
+        """PSNR over eval batches + optional GT|pred visualization dump
+        (reference: per-10-epoch eval, train_vae.py:277-333)."""
+        psnrs = []
+        first_outputs = None
+        for i, batch in enumerate(eval_loader):
+            if i >= max_batches:
+                break
+            sharded = shard_batch(batch, self.mesh)
+            metrics, outputs = self.eval_step(state, sharded, key)
+            psnrs.append(float(metrics["psnr"]))
+            if first_outputs is None:
+                first_outputs = jax.tree.map(np.asarray, outputs)
+        if vis_path and first_outputs is not None:
+            from sigman_release_tpu.utils.visualize import save_visualization
+
+            save_visualization(first_outputs, vis_path)
+        return {"eval_psnr": float(np.mean(psnrs)) if psnrs else float("nan")}
+
     def fit(self, train_loader, state: TrainState, lpips_params,
             num_steps: Optional[int] = None, log_every: int = 10,
-            ckpt_path: Optional[str] = None, logger=None):
+            ckpt_path: Optional[str] = None, logger=None,
+            eval_loader=None, eval_every: Optional[int] = None):
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed + jax.process_index())
         step = int(state.step)
@@ -369,6 +390,15 @@ class VAETrainer:
                         logger.log(step, {**host_logs, "sec_per_step": dt})
                 if ckpt_path and step % cfg.save_ckpt_steps == 0:
                     save_checkpoint(ckpt_path, state)
+                if (eval_loader is not None and eval_every
+                        and step % eval_every == 0):
+                    vis = (f"{cfg.workspace}/eval_{step:07d}.png"
+                           if jax.process_index() == 0 else None)
+                    ev = self.evaluate(state, eval_loader, key, vis_path=vis)
+                    if jax.process_index() == 0:
+                        print(f"[vae] eval @ {step}: {ev}", flush=True)
+                        if logger is not None:
+                            logger.log(step, ev)
             if num_steps is None:
                 done = True
         if ckpt_path:

@@ -32,19 +32,29 @@ def main():
 
     if cfg.synthetic_data:
         dataset = SyntheticAvatarDataset(cfg, n_items=cfg.synthetic_items)
+        eval_dataset = SyntheticAvatarDataset(cfg, n_items=2, seed=999)
     else:
         dataset = HGSDataset(cfg, training=True)
         dataset.items = shard_for_host(dataset.items)
+        eval_dataset = HGSDataset(cfg, training=False)
     loader = DataLoader(dataset, cfg.batch_size, num_workers=cfg.num_workers,
                         seed=cfg.seed)
+    eval_loader = DataLoader(eval_dataset, cfg.batch_size, shuffle=False,
+                             num_workers=1)
 
     os.makedirs(cfg.workspace, exist_ok=True)
+    from sigman_release_tpu.utils.logging import MetricLogger
+
+    logger = MetricLogger(cfg.workspace, name="vae")
     steps_per_epoch = max(1, len(loader))
     trainer.fit(
         loader, state, lpips_params,
         num_steps=cfg.num_epochs * steps_per_epoch,
         log_every=cfg.log_every,
         ckpt_path=os.path.join(cfg.workspace, "vae_state.msgpack"),
+        logger=logger,
+        eval_loader=eval_loader,
+        eval_every=cfg.eval_steps,
     )
 
 
