@@ -46,17 +46,28 @@ def main():
         img_h=hw, img_w=hw, tan_half_fovx=th, tan_half_fovy=th,
         chunk=128, interpret=on_cpu,
         # avatar-scale gaussians span <=4 tiles per axis; the smaller window
-        # halves every candidate-sized binning op (PERF.md roadmap item 1)
+        # halves every candidate-sized binning op, and a tighter pair budget
+        # shrinks all P_alloc-proportional placement work (PERF.md items 1/5)
         max_tiles_per_gaussian=16,
+        pair_budget_factor=5,
     )
     means = jnp.asarray(g["means3d"])
     colors = jnp.asarray(g["colors"])
     opa = jnp.asarray(g["opacity"])
 
+    def render(m, c, col, o):
+        return rasterize_single(m, c, col, o, cam_view, cam_view_proj,
+                                jnp.ones(3), cfg)
+
     def loss(m, c, col, o):
-        out = rasterize_single(m, c, col, o, cam_view, cam_view_proj,
-                               jnp.ones(3), cfg)
+        out = render(m, c, col, o)
         return jnp.sum(out["image"] ** 2) + jnp.sum(out["alpha"])
+
+    # honesty guard: the timed configuration must not drop pairs
+    overflow = int(jax.jit(
+        lambda *a: render(*a)["overflow"]
+    )(means, cov3d, colors, opa))
+    assert overflow == 0, f"pair overflow {overflow}: raise the budget/window"
 
     grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
     gr = grad_fn(means, cov3d, colors, opa)
