@@ -45,7 +45,7 @@ from sigman_release_tpu.losses.gan import PatchDiscriminator
 from sigman_release_tpu.losses.lpips import LPIPS, load_lpips_params
 from sigman_release_tpu.losses.metrics import psnr
 from sigman_release_tpu.models.vae import VAEModel, compose_rotations, sample_gaussian_attrs
-from sigman_release_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sigman_release_tpu.parallel.mesh import make_mesh, shard_batch
 from sigman_release_tpu.renderer import GaussianRenderer
 from sigman_release_tpu.training.checkpoint import (
     load_checkpoint,

@@ -29,4 +29,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compilation cache: CPU compiles of the renderer/train graphs
+# take minutes; repeat suite runs hit the cache instead
+_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# build the native loader if missing (gitignored build artifact)
+_native = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+if not os.path.exists(os.path.join(_native, "libsigman_loader.so")):
+    import subprocess
+
+    subprocess.run(["make", "-C", _native], check=False, capture_output=True)

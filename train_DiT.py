@@ -61,12 +61,16 @@ def main():
                         seed=cfg.seed)
 
     os.makedirs(cfg.workspace, exist_ok=True)
+    from sigman_release_tpu.utils.logging import MetricLogger
+
+    logger = MetricLogger(cfg.workspace, name="dit")
     steps_per_epoch = max(1, len(loader))
     trainer.fit(
         loader, state,
         num_steps=cfg.num_epochs * steps_per_epoch,
         log_every=cfg.log_every,
         ckpt_path=os.path.join(cfg.workspace, "dit_state.msgpack"),
+        logger=logger,
     )
 
 
