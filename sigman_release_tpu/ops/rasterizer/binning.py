@@ -54,17 +54,24 @@ class TileBinning(NamedTuple):
 
 
 def _small_table_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table [T] (T small), idx [...] -> table[idx] via masked reduce.
+    """table [T] or [T,L] (T small), idx [...] -> table[idx] via masked reduce.
 
     XLA TPU lowers big scalar gathers poorly; a compare+select+sum over a
-    <=256-entry table is a fused VPU loop instead.
+    <=256-entry table is a fused VPU loop instead. A trailing lane dim L
+    fetches several tables in one pass.
     """
     t_axis = jnp.arange(table.shape[0], dtype=jnp.int32)
     flat = idx.reshape(-1, 1)
+    if table.ndim == 1:
+        out = jnp.sum(
+            jnp.where(t_axis[None, :] == flat, table[None, :], 0), axis=1
+        )
+        return out.reshape(idx.shape)
     out = jnp.sum(
-        jnp.where(t_axis[None, :] == flat, table[None, :], 0), axis=1
+        jnp.where((t_axis[None, :] == flat)[..., None], table[None], 0),
+        axis=1,
     )
-    return out.reshape(idx.shape)
+    return out.reshape(idx.shape + (table.shape[1],))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -159,18 +166,24 @@ def bin_gaussians(
     ).astype(jnp.int32)
     inv_perm = jnp.argsort(perm).astype(jnp.int32)
 
-    feats10 = jnp.stack(
+    # ONE 16-lane-aligned row (narrow row gathers lower ~10x worse on TPU):
+    # lanes 0-9 = kernel features, lane 10 = radius, lane 11 = validity
+    feats16 = jnp.stack(
         [proj.mean2d[:, 0], proj.mean2d[:, 1],
          proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
          colors[:, 0], colors[:, 1], colors[:, 2],
          jnp.where(proj.valid, opacity, 0.0),
-         proj.depth],
+         proj.depth,
+         proj.radius, proj.valid.astype(jnp.float32),
+         jnp.zeros_like(proj.depth), jnp.zeros_like(proj.depth),
+         jnp.zeros_like(proj.depth), jnp.zeros_like(proj.depth)],
         axis=-1,
-    ).astype(jnp.float32)                                   # [N,10]
+    ).astype(jnp.float32)                                   # [N,16]
+    sorted16 = _perm_gather(feats16, perm, inv_perm)
 
-    mean2d = proj.mean2d[perm]
-    radius = proj.radius[perm]
-    valid = proj.valid[perm]
+    mean2d = sorted16[:, 0:2]
+    radius = sorted16[:, 10]
+    valid = sorted16[:, 11] > 0.5
 
     # ---- 2. window candidates + one key sort -------------------------------
     x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_size), 0, ntx)
@@ -217,18 +230,19 @@ def bin_gaussians(
         jnp.searchsorted(aligned_start, r_idx, side="right") - 1
     ).astype(jnp.int32)
     t_of_r = jnp.clip(t_of_r, 0, n_tiles - 1)
-    astart_r = _small_table_lookup(aligned_start, t_of_r)
-    rstart_r = _small_table_lookup(raw_start, t_of_r)
-    count_r = _small_table_lookup(tile_count, t_of_r)
+    packed = _small_table_lookup(
+        jnp.stack([aligned_start, raw_start, tile_count], axis=-1), t_of_r
+    )
+    astart_r, rstart_r, count_r = packed[:, 0], packed[:, 1], packed[:, 2]
     r_off = r_idx - astart_r
     valid_out = r_off < count_r
     sorted_pos = jnp.clip(rstart_r + r_off, 0, keys.shape[0] - 1)
     key_at = keys_sorted[sorted_pos]                         # row gather
     gauss_row = key_at % n                                   # depth-order row
 
-    rows16 = jnp.pad(
-        _perm_gather(feats10, perm, inv_perm), ((0, 0), (0, PAIR_FEATS - 10))
-    )
+    # zero the aux lanes before placement (the kernel contract reserves them)
+    lane = jnp.arange(PAIR_FEATS)
+    rows16 = jnp.where(lane[None, :] < 10, sorted16, 0.0)
     placed = _layout_pairs(
         rows16, gauss_row.astype(jnp.float32),
         valid_out.astype(jnp.float32), maxt, p_alloc,
