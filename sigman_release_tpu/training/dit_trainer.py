@@ -175,11 +175,31 @@ class DiTTrainer:
         params = optax.apply_updates(state.params, updates)
         return DiTTrainState(params, opt_state, state.step + 1), logs
 
+    # ------------------------------------------------------------------ eval
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def eval_loss(self, state: DiTTrainState, batch, rng: jax.Array):
+        """Held-out v-prediction loss at fixed mid-schedule timesteps
+        (the trainer-side counterpart of the reference's periodic eval,
+        train_DiT.py:470-557)."""
+        cfg = self.cfg
+        latent, cond = self.encode_inputs(batch, rng)
+        B = latent.shape[0]
+        t = jnp.full((B,), cfg.num_train_timesteps // 2, jnp.int32)
+        noise = jax.random.normal(jax.random.fold_in(rng, 1), latent.shape)
+        noisy = self.scheduler.add_noise(latent, noise, t)
+        v_pred = self.model.apply(state.params, noisy, cond, t)
+        a = self.scheduler.alphas_cumprod[t].reshape(B, 1, 1, 1)
+        x0_pred = jnp.sqrt(a) * noisy - jnp.sqrt(1 - a) * v_pred
+        w = self.scheduler.snr_weights(t).reshape(B, 1, 1, 1)
+        return jnp.mean(w * (x0_pred - latent) ** 2)
+
     # ------------------------------------------------------------------ fit
 
     def fit(self, train_loader, state: DiTTrainState,
             num_steps: Optional[int] = None, log_every: int = 10,
-            ckpt_path: Optional[str] = None, logger=None):
+            ckpt_path: Optional[str] = None, logger=None,
+            eval_loader=None, eval_every: Optional[int] = None):
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed + 7 + jax.process_index())
         step = int(state.step)
@@ -204,6 +224,21 @@ class DiTTrainer:
                                           "sec_per_step": dt})
                 if ckpt_path and step % cfg.save_ckpt_steps == 0:
                     save_checkpoint(ckpt_path, state)
+                if (eval_loader is not None and eval_every
+                        and step % eval_every == 0):
+                    losses = []
+                    for i, eb in enumerate(eval_loader):
+                        if i >= 4:
+                            break
+                        losses.append(float(self.eval_loss(
+                            state, shard_batch(eb, self.mesh), key
+                        )))
+                    if losses and jax.process_index() == 0:
+                        ev = float(np.mean(losses))
+                        print(f"[dit] eval @ {step}: v-loss {ev:.4f}",
+                              flush=True)
+                        if logger is not None:
+                            logger.log(step, {"eval_loss": ev})
             if num_steps is None:
                 done = True
         if ckpt_path:
