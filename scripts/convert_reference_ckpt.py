@@ -67,6 +67,10 @@ def dit_key_map(n_layers: int):
             f"{t}.attn1.to_q.weight": (("params", f, "attn1", "to_q", "kernel"), _t_linear),
             f"{t}.attn1.to_k.weight": (("params", f, "attn1", "to_k", "kernel"), _t_linear),
             f"{t}.attn1.to_v.weight": (("params", f, "attn1", "to_v", "kernel"), _t_linear),
+            # reference DiT3DModel defaults attention_bias=True (DiT.py:232)
+            f"{t}.attn1.to_q.bias": (("params", f, "attn1", "to_q", "bias"), np.asarray),
+            f"{t}.attn1.to_k.bias": (("params", f, "attn1", "to_k", "bias"), np.asarray),
+            f"{t}.attn1.to_v.bias": (("params", f, "attn1", "to_v", "bias"), np.asarray),
             f"{t}.attn1.norm_q.weight": (("params", f, "attn1", "norm_q", "scale"), np.asarray),
             f"{t}.attn1.norm_k.weight": (("params", f, "attn1", "norm_k", "scale"), np.asarray),
             f"{t}.attn1.to_out.0.weight": (("params", f, "attn1", "to_out", "kernel"), _t_linear),
@@ -102,13 +106,19 @@ def convert_dit(sd: dict, params, n_layers: int, verbose=True):
             continue
         flat[fpath] = w
         hits += 1
+    # source keys the map doesn't know about would otherwise be dropped
+    # silently (e.g. biases from configs the map predates) — always surface
+    unmapped = sorted(k for k in sd if k not in key_map)
     if verbose:
         print(f"[convert] {hits} converted, {len(misses)} missing, "
-              f"{len(mismatches)} shape mismatches")
+              f"{len(mismatches)} shape mismatches, "
+              f"{len(unmapped)} unmapped source keys")
         for s in misses[:20]:
             print("  missing:", s)
         for s in mismatches[:20]:
             print("  mismatch:", s)
+        for s in unmapped[:40]:
+            print("  unmapped (DROPPED):", s)
     return unflatten_dict(flat)
 
 

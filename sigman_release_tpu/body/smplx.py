@@ -217,16 +217,15 @@ def smplx_forward(model: SMPLXModel, params: SMPLXParams) -> LBSOutput:
               model.posedirs, model.J_regressor, model.parents,
               model.lbs_weights)
 
-    scale = params.scale.reshape(B, 1, 1)
+    # transl shifts verts/joints/A/T; params.scale is deliberately IGNORED —
+    # the reference's SMPL-X forward has the scale application commented out
+    # (/root/reference/core/modules/deformers/smplx/body_models.py:1068-1073),
+    # so even the 123-d layout's scale coefficient never takes effect.
     transl = params.transl.reshape(B, 1, 3)
-    verts = out.verts * scale + transl
-    joints = out.joints * scale + transl
-    A = out.A.at[..., :3, :3].multiply(scale[..., None])
-    A = A.at[..., :3, 3].multiply(scale)
-    A = A.at[..., :3, 3].add(transl)
-    T = out.T.at[..., :3, :3].multiply(scale[..., None])
-    T = T.at[..., :3, 3].multiply(scale)
-    T = T.at[..., :3, 3].add(transl)
+    verts = out.verts + transl
+    joints = out.joints + transl
+    A = out.A.at[..., :3, 3].add(transl)
+    T = out.T.at[..., :3, 3].add(transl)
     return LBSOutput(verts, joints, A, T, out.shape_offset, out.pose_offset,
                      out.pose_feature)
 
@@ -254,41 +253,70 @@ def canonical_params(B: int = 1, pca_hands: bool = True) -> SMPLXParams:
     )
 
 
-def parse_param_vector(vec: jnp.ndarray) -> SMPLXParams:
-    """Parse the reference's flat smpl_params layouts (120/175/179/188-d).
+def parse_param_vector(vec: Optional[jnp.ndarray],
+                       batch: int = 1) -> SMPLXParams:
+    """Parse the reference's flat smpl_params layouts (120/123/175/179/188-d).
 
-    Mirrors SMPLXDeformer.prepare_deformer's four layouts
-    (/root/reference/core/modules/deformers/smplx_deformer.py:121-245) —
-    including its transl/orient overrides for the 175/179/188-d variants.
+    Mirrors SMPLXDeformer.prepare_deformer's branches
+    (/root/reference/core/modules/deformers/smplx_deformer.py:121-245):
+
+    * ``None`` / 120-d — the default path: a zero vector split as (scale,
+      orient, body, betas, lh12, rh12, jaw, eyes, expr) with fixed transl
+      (0, 0.35, 0) and the curled-hand PCA mean overriding both hands. The
+      reference only reaches this split with zeros (``smpl_params=None``), so
+      everything except the overrides is zero by construction.
+    * 175-d — AMASS order (orient, body, lhand45, rhand45, jaw, eyes, betas);
+      transl fixed.
+    * 179-d / 188-d — (transl, orient, betas, body, expr, hands45[, jaw,
+      eyes]); transl AND orient overridden to the fixed values.
+    * anything else — the reference's else-branch: (scale, transl, orient,
+      body, betas, lh12, rh12, jaw, eyes, expr), 123 dims, everything kept.
     """
+    if vec is None or vec.shape[1] == 120:
+        B = batch if vec is None else vec.shape[0]
+        base = canonical_params(B, pca_hands=True)
+        if vec is None:
+            return base
+        # honor any non-zero entries a caller did pass (split mirrors the
+        # reference's 120-d order, minus transl which the vector lacks)
+        _s, go, body, betas, _lh, _rh, jaw, le, re, expr = _split(
+            vec, [1, 3, 63, 10, 12, 12, 3, 3, 3, 10])
+        return base._replace(betas=betas, expression=expr, global_orient=go,
+                             body_pose=body, jaw_pose=jaw, leye_pose=le,
+                             reye_pose=re)
+
     B, D = vec.shape
     transl_fixed = jnp.broadcast_to(jnp.array([0.0, 0.35, 0.0]), (B, 3))
     ones = jnp.ones((B, 1), jnp.float32)
     z3 = jnp.zeros((B, 3), jnp.float32)
 
-    def split(sizes):
-        out, o = [], 0
-        for s in sizes:
-            out.append(vec[:, o:o + s])
-            o += s
-        return out
-
     if D == 175:   # AMASS: orient, body, lhand45, rhand45, jaw, eyes, betas
-        go, body, lh, rh, jaw, le, re, betas = split([3, 63, 45, 45, 3, 3, 3, 10])
+        go, body, lh, rh, jaw, le, re, betas = _split(
+            vec, [3, 63, 45, 45, 3, 3, 3, 10])
         return SMPLXParams(betas, jnp.zeros((B, 10)), go, body, jaw, le, re,
                            lh, rh, transl_fixed, ones)
     if D == 179:
-        _t, _go, betas, body, expr, lh, rh = split([3, 3, 10, 63, 10, 45, 45])
+        _t, _go, betas, body, expr, lh, rh = _split(
+            vec, [3, 3, 10, 63, 10, 45, 45])
         return SMPLXParams(betas, expr, z3, body, z3, z3, z3, lh, rh,
                            transl_fixed, ones)
     if D == 188:
-        _t, _go, betas, body, expr, lh, rh, jaw, le, re = split(
-            [3, 3, 10, 63, 10, 45, 45, 3, 3, 3])
+        _t, _go, betas, body, expr, lh, rh, jaw, le, re = _split(
+            vec, [3, 3, 10, 63, 10, 45, 45, 3, 3, 3])
         return SMPLXParams(betas, expr, z3, body, jaw, le, re, lh, rh,
                            transl_fixed, ones)
-    if D == 127:   # scale, transl, orient, body, betas, pca hands, jaw, eyes, expr
-        scale, transl, go, body, betas, lh, rh, jaw, le, re, expr = split(
-            [1, 3, 3, 63, 10, 12, 12, 3, 3, 3, 10])
+    if D == 123:   # reference else-branch: everything kept from the vector
+        scale, transl, go, body, betas, lh, rh, jaw, le, re, expr = _split(
+            vec, [1, 3, 3, 63, 10, 12, 12, 3, 3, 3, 10])
         return SMPLXParams(betas, expr, go, body, jaw, le, re, lh, rh,
                            transl, scale)
     raise ValueError(f"unknown smpl_params layout with {D} dims")
+
+
+def _split(vec: jnp.ndarray, sizes):
+    out, o = [], 0
+    for s in sizes:
+        out.append(vec[:, o:o + s])
+        o += s
+    assert o == vec.shape[1], (o, vec.shape)
+    return out

@@ -21,8 +21,9 @@ from typing import Optional, Tuple
 @dataclass(frozen=True)
 class Config:
     # ---- model / image sizes -------------------------------------------------
+    # NOTE: the reference also defines splat_size / lambda_face, but neither
+    # is read anywhere in its code (dead config) — deliberately not carried.
     input_size: int = 512           # encoder input resolution (H == W)
-    splat_size: int = 128           # UV gaussian-map resolution fed to grid-sample
     output_size: int = 512          # render / supervision resolution
     latent_channels: int = 16       # VAE latent channels (16 x 64 x 64 latent)
     vae_out_channels: int = 64      # decoder UV feature channels
@@ -78,7 +79,6 @@ class Config:
     lambda_lpips: float = 1.0
     lpips_size: int = 256        # LPIPS input resize (whole_loss.py:130-140)
     lambda_kl: float = 1e-6
-    lambda_face: float = 5.0
     disc_factor: float = 1.0
     disc_weight: float = 1000.0
     disc_start: int = 50_000_000
@@ -138,14 +138,14 @@ class Config:
 # ---- named presets (mirror the reference's subcommands) ----------------------
 
 PRESETS = {
-    "vae_s": Config(input_size=256, splat_size=128, output_size=512, num_views=8,
+    "vae_s": Config(input_size=256, output_size=512, num_views=8,
                     num_input_views=4, num_epochs=250),
-    "vae_b": Config(input_size=512, splat_size=128, output_size=512, num_views=10,
+    "vae_b": Config(input_size=512, output_size=512, num_views=10,
                     num_input_views=6, num_epochs=100),
-    "dit": Config(input_size=512, splat_size=128, output_size=512, num_views=10,
+    "dit": Config(input_size=512, output_size=512, num_views=10,
                   num_input_views=6, num_epochs=100, batch_size=8, lr=1e-4),
     # small configs for tests / CI — not in the reference
-    "test_tiny": Config(input_size=64, splat_size=32, output_size=32,
+    "test_tiny": Config(input_size=64, output_size=32,
                         lpips_size=64, num_views=3,
                         num_input_views=2, latent_channels=4, vae_out_channels=16,
                         self_attention_layers=1, encoder_channels=(8, 16, 16, 32),

@@ -48,29 +48,45 @@ def timestep_sinusoid(t: jnp.ndarray, dim: int, flip: bool = True,
 
 
 def sincos_2d(embed_dim: int, grid_h: int, grid_w: int,
-              interpolation_scale: float = 1.875) -> np.ndarray:
-    """2D sincos position table [grid_h*grid_w, embed_dim] (diffusers layout:
-    first half height-encoded, second half width-encoded)."""
+              interpolation_scale: float = 1.875,
+              base_size: int = 16) -> np.ndarray:
+    """2D sincos position table [grid_h*grid_w, embed_dim].
+
+    Bit-exact with diffusers ``get_2d_sincos_pos_embed(embed_dim, (W, H),
+    interpolation_scale=...)`` as called by the reference's
+    PatchEmbed_2D_SAPIENS (/root/reference/core/modules/DiT_utils.py:583-588):
+    for a square grid the first half of the dim encodes the *column*
+    coordinate and the second the row, and positions are divided by both
+    ``grid/base_size`` and ``interpolation_scale`` (diffusers' base-size
+    rescale — omitted in most re-implementations).
+    """
+    assert grid_h == grid_w, "reference only uses square grids (64/2 = 32)"
 
     def one_dim(dim, pos):
         omega = 1.0 / 10000.0 ** (np.arange(dim // 2) / (dim / 2.0))
         out = np.einsum("p,d->pd", pos, omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    gh = np.arange(grid_h, dtype=np.float64) / interpolation_scale
-    gw = np.arange(grid_w, dtype=np.float64) / interpolation_scale
-    wgrid, hgrid = np.meshgrid(gw, gh)              # [H,W]
-    emb_h = one_dim(embed_dim // 2, hgrid.reshape(-1))
-    emb_w = one_dim(embed_dim // 2, wgrid.reshape(-1))
-    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+    scale_h = (grid_h / base_size) * interpolation_scale
+    scale_w = (grid_w / base_size) * interpolation_scale
+    rows = np.arange(grid_h, dtype=np.float64)
+    cols = np.arange(grid_w, dtype=np.float64)
+    col_of = np.tile(cols, grid_h) / scale_h     # token p -> its column
+    row_of = np.repeat(rows, grid_w) / scale_w   # token p -> its row
+    emb_col = one_dim(embed_dim // 2, col_of)
+    emb_row = one_dim(embed_dim // 2, row_of)
+    return np.concatenate([emb_col, emb_row], axis=1).astype(np.float32)
 
 
 def rope_2d(head_dim: int, grid_h: int, grid_w: int,
             theta: float = 10000.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """2D axial rotary embedding (diffusers get_2d_rotary_pos_embed layout).
 
-    Returns (cos, sin) [grid_h*grid_w, head_dim]; first half of dims rotate
-    with the row coordinate, second half with the column.
+    Returns (cos, sin) [grid_h*grid_w, head_dim]. Matches the reference's
+    prepare_rotary_positional_embeddings (/root/reference/train_DiT.py:34-78)
+    -> diffusers get_2d_rotary_pos_embed: ``grid = meshgrid(grid_w, grid_h)``
+    puts the *column* coordinate in grid[0], so the FIRST half of the head
+    dims rotates with the column and the second half with the row.
     """
 
     def one_dim(dim, pos):
@@ -85,12 +101,12 @@ def rope_2d(head_dim: int, grid_h: int, grid_w: int,
     ch, sh = one_dim(head_dim // 2, rows)           # [H, hd/2]
     cw, sw = one_dim(head_dim // 2, cols)
     cos = np.concatenate(
-        [np.repeat(ch, grid_w, axis=0),
-         np.tile(cw, (grid_h, 1))], axis=1,
+        [np.tile(cw, (grid_h, 1)),
+         np.repeat(ch, grid_w, axis=0)], axis=1,
     )
     sin = np.concatenate(
-        [np.repeat(sh, grid_w, axis=0),
-         np.tile(sw, (grid_h, 1))], axis=1,
+        [np.tile(sw, (grid_h, 1)),
+         np.repeat(sh, grid_w, axis=0)], axis=1,
     )
     return jnp.asarray(cos, jnp.float32), jnp.asarray(sin, jnp.float32)
 
@@ -124,6 +140,9 @@ class JointAttention(nn.Module):
     dim: int
     heads: int
     head_dim: int
+    # reference DiT3DModel default attention_bias=True (DiT.py:232, not
+    # overridden by train_DiT.py:206) -> qkv projections carry biases
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, image, cond, rope):
@@ -133,9 +152,9 @@ class JointAttention(nn.Module):
         inner = self.heads * self.head_dim
 
         def proj(name):
-            return nn.Dense(inner, use_bias=False, name=name)(x).reshape(
-                b, s, self.heads, self.head_dim
-            )
+            return nn.Dense(inner, use_bias=self.use_bias, name=name)(
+                x
+            ).reshape(b, s, self.heads, self.head_dim)
 
         q = RMSNormPerHead(self.head_dim, name="norm_q")(proj("to_q"))
         k = RMSNormPerHead(self.head_dim, name="norm_k")(proj("to_k"))
@@ -223,9 +242,13 @@ class PatchEmbed(nn.Module):
         cond = cond.reshape(b, -1, dim)
         # joint sincos table: zeros over the cond rows, 2D sincos over image
         # rows (PatchEmbed_2D_SAPIENS._get_positional_embeddings) — so only
-        # image tokens receive a position offset.
-        pos = jnp.asarray(sincos_2d(dim, gh, gw))
-        return img + pos[None], cond
+        # image tokens receive a position offset. The reference gates this
+        # on NOT use_rotary_positional_embeddings (DiT.py:270), and the
+        # shipped config uses RoPE — so the default run adds no sincos.
+        if not c.use_rotary_positional_embeddings:
+            pos = jnp.asarray(sincos_2d(dim, gh, gw))
+            img = img + pos[None]
+        return img, cond
 
 
 class DiTModel(nn.Module):

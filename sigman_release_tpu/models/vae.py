@@ -297,9 +297,9 @@ class ConvVAE(nn.Module):
         """z [B,h,w,Cl] -> UV feature map [B,H,W,out]."""
         return self.decoder(z)
 
-    def __call__(self, x, initial_uv, rng):
+    def __call__(self, x, initial_uv, rng, sample_posterior: bool = True):
         posterior = self.encode(x, initial_uv)
-        z = posterior.sample(rng)
+        z = posterior.sample(rng) if sample_posterior else posterior.mode()
         return self.decode(z), posterior
 
 
@@ -384,11 +384,14 @@ class VAEModel(nn.Module):
         self.autoencoder = ConvVAE(self.cfg)
         self.heads = GaussianHeads()
 
-    def __call__(self, images, initial_uv, rng):
-        """images [B,V,9,H,W] (reference layout) -> (attr_map, posterior)."""
+    def __call__(self, images, initial_uv, rng, sample_posterior: bool = True):
+        """images [B,V,9,H,W] (reference layout) -> (attr_map, posterior).
+
+        ``sample_posterior=False`` decodes the posterior mode — used by eval
+        so metrics are deterministic (reference eval decodes the mean)."""
         x = jnp.moveaxis(images, 2, -1)                   # NHWC
         uv = jnp.moveaxis(initial_uv, 1, -1)
-        feats, posterior = self.autoencoder(x, uv, rng)
+        feats, posterior = self.autoencoder(x, uv, rng, sample_posterior)
         return self.heads(feats), posterior
 
     def encode(self, images, initial_uv) -> DiagonalGaussian:

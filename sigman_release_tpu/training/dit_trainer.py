@@ -71,6 +71,11 @@ class DiTTrainer:
             optax.clip_by_global_norm(cfg.gradient_clip),
             optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=1e-4),
         )
+        if cfg.gradient_accumulation_steps > 1:
+            # reference: accelerator.accumulate context (train_DiT.py)
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=cfg.gradient_accumulation_steps
+            )
 
     # ------------------------------------------------------------------ init
 

@@ -138,6 +138,13 @@ class VAETrainer:
             optax.clip_by_global_norm(cfg.gradient_clip),
             optax.adamw(cfg.lr),
         )
+        # gradient accumulation (reference: accelerator.accumulate,
+        # train_vae.py:133): grads average over k micro-steps inside the
+        # optimizer — the train step stays a single jitted program
+        if cfg.gradient_accumulation_steps > 1:
+            k = cfg.gradient_accumulation_steps
+            self.tx_g = optax.MultiSteps(self.tx_g, every_k_schedule=k)
+            self.tx_d = optax.MultiSteps(self.tx_d, every_k_schedule=k)
 
     # ------------------------------------------------------------------ init
 
@@ -191,7 +198,7 @@ class VAETrainer:
         attr_map, posterior = self.model.apply(
             self._cast_params(params),
             batch["input"].astype(dtype), batch["UV_inital"].astype(dtype),
-            rng,
+            rng, sample_posterior,
         )
         attr_map = attr_map.astype(jnp.float32)
         posterior = type(posterior)(
@@ -221,6 +228,10 @@ class VAETrainer:
             "alphas_pred": render["alpha"],
             "images_gt": batch["images_output"],
             "masks_gt": batch["masks_output"],
+            # (gaussian, tile) pairs dropped by the binning window cap /
+            # pair budget — surfaced in the step logs so silent truncation
+            # during training is visible (binning.py overflow contract)
+            "overflow": render["overflow"],
         }
         return outputs, posterior
 
@@ -251,6 +262,7 @@ class VAETrainer:
             def loss_fn(diff):
                 params, logvar = diff
                 outputs, posterior = self.forward(params, batch, rng)
+                overflow = outputs.pop("overflow")
                 loss, logs = self.loss.generator(
                     outputs, posterior, state.step, logvar,
                     lpips_params=lpips_params, disc_params=state.disc_params,
@@ -259,6 +271,7 @@ class VAETrainer:
                     jax.lax.stop_gradient(outputs["images_pred"]),
                     outputs["images_gt"],
                 )
+                logs["overflow"] = overflow.astype(jnp.float32)
                 return loss, logs
 
             grads, logs = jax.grad(loss_fn, has_aux=True)(

@@ -64,13 +64,62 @@ def test_global_rotation_rotates_rigidly(model):
     assert np.linalg.norm(np.asarray(out.joints[0, 0])) < 0.2
 
 
-def test_transl_and_scale(model):
+def test_transl_applied_scale_ignored(model):
+    """transl shifts everything; scale is a no-op — the reference's SMPL-X
+    forward comments the scale application out (body_models.py:1068-1073)."""
     p0 = canonical_params(1)._replace(transl=jnp.zeros((1, 3)))
     p1 = p0._replace(transl=jnp.array([[0.5, -0.2, 0.1]]),
                      scale=jnp.array([[2.0]]))
     v0 = np.asarray(smplx_forward(model, p0).verts[0])
     v1 = np.asarray(smplx_forward(model, p1).verts[0])
-    np.testing.assert_allclose(v1, v0 * 2.0 + [0.5, -0.2, 0.1], atol=1e-4)
+    np.testing.assert_allclose(v1, v0 + [0.5, -0.2, 0.1], atol=1e-4)
+
+
+def test_param_vector_layouts(model):
+    from sigman_release_tpu.body.smplx import HAND_PCA_CANO
+
+    rng = np.random.default_rng(3)
+
+    # None / 120-d zeros -> canonical defaults with curled-hand PCA mean
+    p_none = parse_param_vector(None, batch=2)
+    p_120 = parse_param_vector(jnp.zeros((2, 120)))
+    np.testing.assert_allclose(np.asarray(p_120.left_hand_pose),
+                               np.broadcast_to(HAND_PCA_CANO, (2, 12)))
+    np.testing.assert_allclose(np.asarray(p_none.transl),
+                               np.broadcast_to([0.0, 0.35, 0.0], (2, 3)))
+    for a, b in zip(p_none, p_120):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # 123-d else-branch: everything kept, incl. transl
+    vec = jnp.asarray(rng.normal(0, 0.1, (2, 123)), jnp.float32)
+    p = parse_param_vector(vec)
+    assert p.left_hand_pose.shape == (2, 12)
+    np.testing.assert_allclose(np.asarray(p.transl), np.asarray(vec[:, 1:4]))
+    np.testing.assert_allclose(np.asarray(p.global_orient),
+                               np.asarray(vec[:, 4:7]))
+    out = smplx_forward(model, p)
+    assert np.isfinite(np.asarray(out.verts)).all()
+
+    # 179/188-d: transl+orient overridden, expression kept
+    for d, has_jaw in ((179, False), (188, True)):
+        vec = jnp.asarray(rng.normal(0, 0.1, (1, d)), jnp.float32)
+        p = parse_param_vector(vec)
+        assert p.left_hand_pose.shape == (1, 45)
+        np.testing.assert_allclose(np.asarray(p.global_orient), 0.0)
+        np.testing.assert_allclose(np.asarray(p.transl),
+                                   [[0.0, 0.35, 0.0]])
+        np.testing.assert_allclose(np.asarray(p.expression),
+                                   np.asarray(vec[:, 79:89]))
+        if has_jaw:
+            np.testing.assert_allclose(np.asarray(p.jaw_pose),
+                                       np.asarray(vec[:, 179:182]))
+        else:
+            np.testing.assert_allclose(np.asarray(p.jaw_pose), 0.0)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_param_vector(jnp.zeros((1, 127)))
 
 
 def test_pose_feature_shape_and_amass_parsing(model):

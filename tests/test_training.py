@@ -56,6 +56,24 @@ def test_vae_disc_step(trainer, batch):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_gradient_accumulation(batch):
+    """k micro-steps with MultiSteps == one step on the averaged gradient:
+    params only move on the k-th call (reference accelerator.accumulate,
+    train_vae.py:133)."""
+    cfg = CFG.replace(gradient_accumulation_steps=2, lambda_lpips=0.0)
+    tr = VAETrainer(cfg, interpret=True, mesh=make_mesh((1,), ("data",)))
+    key = jax.random.PRNGKey(0)
+    state, lpips_params = tr.init_state(key)
+    sharded = shard_batch(batch, tr.mesh)
+    s1, _ = tr.train_step_g(state, sharded, lpips_params, key)
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(s1.params)[0]
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))  # buffered
+    s2, _ = tr.train_step_g(s1, sharded, lpips_params, key)
+    p2 = jax.tree.leaves(s2.params)[0]
+    assert np.abs(np.asarray(p2 - p0)).max() > 0  # applied on k-th
+
+
 def test_checkpoint_roundtrip(tmp_path, trainer):
     key = jax.random.PRNGKey(0)
     state, _ = trainer.init_state(key)
