@@ -81,9 +81,9 @@ def main():
 
     @jax.jit
     def count_overflow(m, c, col, o):
-        p = project_gaussians(m, c, cam_view[0], cam_view_proj[0],
-                              cfg.tan_half_fovx, cfg.tan_half_fovy,
-                              cfg.img_h, cfg.img_w)
+        p = jax.vmap(lambda cv, cvp: project_gaussians(
+            m, c, cv, cvp, cfg.tan_half_fovx, cfg.tan_half_fovy,
+            cfg.img_h, cfg.img_w))(cam_view[:1], cam_view_proj[:1])
         bins = binning_lib.bin_gaussians(
             p, col, o, cfg.img_h, cfg.img_w,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,

@@ -1,36 +1,51 @@
-"""Static-shape tile binning for the Pallas rasterizer — TPU-profiled design.
+"""Static-shape tile binning for the Pallas rasterizer — v5 (all views, one sort).
 
-The CUDA rasterizer radix-sorts (tile, depth) pairs on-GPU. On TPU the
-XLA primitives have wildly different costs (measured on v5e, 50k gaussians,
-512^2): non-stable 1.8M-key sort 5.7 ms, VMEM-resident row gathers ~4 ms,
-but *stable* sorts ~10x slower, scalar gathers from HBM-resident tables
-~40 ms, and scatter ~50 ms. This binning therefore uses ONE non-stable key
-sort and only small-table lookups / row gathers, and NO scatter anywhere
-(forward or backward):
+The CUDA rasterizer radix-sorts (tile, depth) pairs on-GPU, once per
+(batch, view) launch. v5 bins EVERY view of a batch element in one shot:
 
-1. depth-argsort the gaussians; n = position in depth order,
-2. each gaussian emits up to ``win^2`` window candidates with key
-   ``tile * N + n`` (invalid -> INT_MAX); one sort of the keys yields, per
-   tile, a contiguous run in depth order — the key itself encodes
-   (tile, gaussian) so no payload sort is needed,
-3. per-tile counts come from a searchsorted over 257 boundaries; segments
-   are re-laid chunk-aligned by computing, for every OUTPUT row, its source
-   sorted-position (binary search over 256 starts + row gather) — placement
-   is a gather, never a scatter,
-4. the backward re-groups output-row cotangents per gaussian with one
-   433k-key sort + uniform (N, win^2) padded segments, then a plain sum.
+1. each (gaussian, view) emits up to ``win^2`` base-window candidates, and
+   the K gaussians per view whose tile span most exceeds the base window
+   emit their remaining tiles from a second ``big_win^2`` fallback window
+   (top-K selection; only spans exceeding the big window or the K pool are
+   dropped, and they are counted in ``overflow``). Every candidate carries
+   a single uint32 key ``(view*n_tiles + tile) << db | depth_bits`` where
+   ``depth_bits`` are the top ``db = 32 - ceil_log2(V*n_tiles)`` bits of the
+   (positive) f32 view depth — IEEE bits of positive floats are monotone,
+   so ONE flat non-stable sort orders every (view, tile) segment
+   front-to-back at once (ties compose in arbitrary order, same as the CUDA
+   radix sort's key truncation; the sign bit keeps depth_bits below the
+   all-ones invalid key),
+2. the sort payload is the flat candidate index ``(v*N + n)*maxt + w`` —
+   built explicitly by broadcast arithmetic, paired positionally with the
+   keys,
+3. per-(view, tile) segment starts come from ONE searchsorted with
+   ``V*n_tiles`` queries over the sorted keys (few queries — cheap); the
+   segments are *unaligned* to the chunk grid and share chunks across tile
+   AND view boundaries (the Pallas kernels mask partial chunks and the
+   backward kernel merges boundary chunks through a sequential VMEM carry),
+4. pair features are placed by a single [budget, 16] row gather of the
+   sorted-prefix payloads (invalid candidates sort to the end; one global
+   ``pair_budget`` bounds all downstream work across all views — per-view
+   imbalance is absorbed instead of padded — and anything clipped is
+   counted in ``overflow``, never silent),
+5. the placement's custom VJP inverts the sort permutation with one more
+   ``sort`` (payloads are a permutation of iota, so sorting them recovers
+   each candidate's sorted position) — gradients regroup per (view,
+   gaussian) with a gather + reshape-sum. No scatter anywhere.
 
-Overflow (window cap or pair budget) is counted and returned, never silent.
+Replaces the per-view launch loop of
+/root/reference/core/gaussians/gs.py:62-110 (one CUDA rasterizer call per
+view) with a single sort/gather pipeline whose cost amortizes over views.
 """
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from sigman_release_tpu.ops.rasterizer.preprocess import ProjectedGaussians
@@ -39,221 +54,248 @@ from sigman_release_tpu.ops.rasterizer.preprocess import ProjectedGaussians
 F_MX, F_MY, F_CA, F_CB, F_CC, F_R, F_G, F_B, F_OPA, F_DEPTH = range(10)
 PAIR_FEATS = 16
 
-BIG = jnp.int32(2147483647)
+INVALID = jnp.uint32(0xFFFFFFFF)
 
 
 class TileBinning(NamedTuple):
-    """Chunk-aligned per-tile pair segments (see module docstring)."""
+    """Per-(view, tile) pair segments in one sorted pair stream."""
 
-    pair_feats: jnp.ndarray   # [NC, 16, chunk] f32 chunk blocks
-    pair_gauss: jnp.ndarray   # [P_alloc] int32 source gaussian (0 if pad)
-    pair_valid: jnp.ndarray   # [P_alloc] bool
-    tile_start: jnp.ndarray   # [n_tiles] int32 aligned segment start (pairs)
-    tile_count: jnp.ndarray   # [n_tiles] int32 real pairs in the segment
+    pair_feats: jnp.ndarray   # [NC, 16, chunk] f32 chunk blocks (all views)
+    tile_start: jnp.ndarray   # [V*n_tiles] int32 absolute pair index (NOT
+    #                           chunk-aligned — kernels mask partials)
+    tile_count: jnp.ndarray   # [V*n_tiles] int32 pairs in the segment
     overflow: jnp.ndarray     # [] int32 — dropped (gaussian, tile) pairs
 
 
-def _small_table_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table [T] or [T,L] (T small), idx [...] -> table[idx] via masked reduce.
+def _float0(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
-    XLA TPU lowers big scalar gathers poorly; a compare+select+sum over a
-    <=256-entry table is a fused VPU loop instead. A trailing lane dim L
-    fetches several tables in one pass.
+
+def _place_pairs(feats16, keys_prefix, payload, cand_ok, sel_flat, dims):
+    """Gather sorted-prefix pair rows into the dense pair stream.
+
+    Candidates come from two windows (see ``bin_gaussians``): base-window
+    payloads < c_a decode as ``payload // a_slots`` = flat (view, gaussian)
+    row; fallback payloads decode through the per-view top-K selection
+    table ``sel_flat``. Empty / past-stream slots take a zero row.
+    ``dims = (v, n, k_big, a_slots, b_slots, budget)`` (static).
     """
-    t_axis = jnp.arange(table.shape[0], dtype=jnp.int32)
-    flat = idx.reshape(-1, 1)
-    if table.ndim == 1:
-        out = jnp.sum(
-            jnp.where(t_axis[None, :] == flat, table[None, :], 0), axis=1
-        )
-        return out.reshape(idx.shape)
-    out = jnp.sum(
-        jnp.where((t_axis[None, :] == flat)[..., None], table[None], 0),
-        axis=1,
+    v, n, k_big, a_slots, b_slots, budget = dims
+    c_a = v * n * a_slots
+    pay = payload[:budget]
+    q = jnp.maximum(pay - c_a, 0)
+    vk = q // b_slots
+    brow = (vk // k_big) * n + sel_flat[vk]
+    arow = pay // a_slots
+    idx = jnp.where(
+        keys_prefix == INVALID, v * n, jnp.where(pay >= c_a, brow, arow)
     )
-    return out.reshape(idx.shape + (table.shape[1],))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _layout_pairs(rows16, gauss_row_f, valid_f, maxt, p_alloc):
-    """Differentiable pair layout: output row r takes gaussian row
-    ``gauss_row_f[r]`` when ``valid_f[r]`` (both float-encoded so the
-    custom VJP has purely-float signatures). The VJP regroups output-row
-    cotangents per gaussian without scatters."""
-    n = rows16.shape[0]
-    src = jnp.concatenate([rows16, jnp.zeros((1, rows16.shape[1]),
-                                             rows16.dtype)])
-    idx = jnp.where(valid_f > 0, gauss_row_f.astype(jnp.int32), n)
+    src = jnp.concatenate([feats16, jnp.zeros((1, feats16.shape[1]),
+                                              feats16.dtype)])
     return src[idx]
 
 
-def _layout_fwd(rows16, gauss_row_f, valid_f, maxt, p_alloc):
-    out = _layout_pairs(rows16, gauss_row_f, valid_f, maxt, p_alloc)
-    return out, (gauss_row_f, valid_f, rows16.shape[0])
+_place_pairs = jax.custom_vjp(_place_pairs, nondiff_argnums=(5,))
 
 
-def _layout_bwd(maxt, p_alloc, res, g):
-    """Group g's rows by gaussian with one sort; uniform maxt-padded segments
-    turn the variable-length reduction into a reshape+sum (no scatter)."""
-    gauss_row_f, valid_f, n = res
-    r_idx = jnp.arange(p_alloc, dtype=jnp.int32)
-    key = jnp.where(valid_f > 0, gauss_row_f.astype(jnp.int32), n)
-    key_sorted, r_sorted = lax.sort_key_val(key, r_idx)
-    starts = jnp.searchsorted(
-        key_sorted, jnp.arange(n, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    ends = jnp.searchsorted(
-        key_sorted, jnp.arange(1, n + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    offs = jnp.arange(maxt, dtype=jnp.int32)
-    pos = starts[:, None] + offs[None, :]
-    in_seg = pos < ends[:, None]
-    pos = jnp.clip(pos, 0, p_alloc - 1)
-    rows = r_sorted[pos.reshape(-1)]
-    rows = jnp.where(in_seg.reshape(-1), rows, p_alloc)
+def _place_fwd(feats16, keys_prefix, payload, cand_ok, sel_flat, dims):
+    out = _place_pairs(feats16, keys_prefix, payload, cand_ok, sel_flat, dims)
+    return out, (payload, cand_ok, sel_flat, keys_prefix)
+
+
+def _place_bwd(dims, res, g):
+    payload, cand_ok, sel_flat, keys_prefix = res
+    v, n, k_big, a_slots, b_slots, budget = dims
+    c_a = v * n * a_slots
+    P = payload.shape[0]
+    # payload is a permutation of iota(P): sorting it ascending recovers,
+    # for each flat candidate index, its position in the sorted stream
+    _, pos = lax.sort(
+        (payload, jnp.arange(P, dtype=jnp.int32)), is_stable=False, num_keys=1
+    )
+    rows = jnp.minimum(pos, budget)            # clipped/invalid -> zero pad row
     gpad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
-    d = gpad[rows].reshape(n, maxt, -1)
-    return (jnp.sum(d, axis=1), jnp.zeros_like(gauss_row_f),
-            jnp.zeros_like(valid_f))
+    # valid candidates always sort before invalid ones, so pos < budget
+    # implies a kernel-written row whenever cand_ok; the where() also blocks
+    # garbage from never-written suffix chunks (uninitialized HBM)
+    d = jnp.where(cand_ok[:, None], gpad[rows], 0.0)
+    f = g.shape[1]
+    d_a = d[:c_a].reshape(v, n, a_slots, f).sum(axis=2)        # [V,N,16]
+    d_b = d[c_a:].reshape(v, k_big, b_slots, f).sum(axis=2)    # [V,K,16]
+    sel = sel_flat.reshape(v, k_big)
+    # K is small (n // big_frac): a per-view K-row scatter-add is cheap
+    d_feats = jax.vmap(lambda da, s, db: da.at[s].add(db))(d_a, sel, d_b)
+    return (d_feats.reshape(v * n, f), _float0(keys_prefix),
+            _float0(payload), _float0(cand_ok), _float0(sel_flat))
 
 
-_layout_pairs.defvjp(_layout_fwd, _layout_bwd)
-
-
-@jax.custom_vjp
-def _perm_gather(x, perm, inv_perm):
-    """x[perm] whose VJP is the inverse-permutation gather (no scatter)."""
-    return x[perm]
-
-
-def _perm_gather_fwd(x, perm, inv_perm):
-    return x[perm], inv_perm
-
-
-def _perm_gather_bwd(inv_perm, g):
-    return (g[inv_perm], None, None)
-
-
-_perm_gather.defvjp(_perm_gather_fwd, _perm_gather_bwd)
+_place_pairs.defvjp(_place_fwd, _place_bwd)
 
 
 def bin_gaussians(
-    proj: ProjectedGaussians,
+    proj: ProjectedGaussians,  # fields [V, N] / [V, N, k] (vmapped projection)
     colors: jnp.ndarray,      # [N,3]
     opacity: jnp.ndarray,     # [N]
     img_h: int,
     img_w: int,
     tile_size: int = 32,
-    max_tiles_per_gaussian: int = 36,
+    max_tiles_per_gaussian: int = 9,
     chunk: int = 128,
     pair_budget: int | None = None,
+    big_win: int = 6,
+    big_frac: int = 32,
 ) -> TileBinning:
-    n = proj.mean2d.shape[0]
+    assert proj.mean2d.ndim == 3, "bin_gaussians wants view-batched projections"
+    v_views, n = proj.mean2d.shape[:2]
     ntx = -(-img_w // tile_size)
     nty = -(-img_h // tile_size)
     n_tiles = ntx * nty
+    total_tiles = v_views * n_tiles
+    tb = max(1, math.ceil(math.log2(total_tiles)))
+    db = 32 - tb                              # depth bits below the tile id
+    assert db >= 16, "too many (view, tile) programs for a 32-bit key"
     win = int(math.isqrt(max_tiles_per_gaussian))
     assert win * win == max_tiles_per_gaussian, "window must be square"
-    maxt = win * win
+    assert big_win >= win
+    a_slots = win * win
+    b_slots = big_win * big_win
+    k_big = max(-(-n // big_frac), 8)         # fallback pool per view
     if pair_budget is None:
-        pair_budget = 8 * n
-    p_alloc = -(-pair_budget // chunk) * chunk + n_tiles * chunk
-    assert (n_tiles + 1) * n < 2 ** 31, "key overflows int32"
+        pair_budget = 5 * n * v_views
+    budget = -(-pair_budget // chunk) * chunk
 
-    # ---- 1. depth order ----------------------------------------------------
-    perm = jnp.argsort(
-        jnp.where(proj.valid, proj.depth, jnp.inf)
-    ).astype(jnp.int32)
-    inv_perm = jnp.argsort(perm).astype(jnp.int32)
+    mean_x = proj.mean2d[..., 0]              # [V,N]
+    mean_y = proj.mean2d[..., 1]
+    radius = proj.radius
+    valid = proj.valid
 
-    # ONE 16-lane-aligned row (narrow row gathers lower ~10x worse on TPU):
-    # lanes 0-9 = kernel features, lane 10 = radius, lane 11 = validity
-    feats16 = jnp.stack(
-        [proj.mean2d[:, 0], proj.mean2d[:, 1],
-         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-         colors[:, 0], colors[:, 1], colors[:, 2],
-         jnp.where(proj.valid, opacity, 0.0),
-         proj.depth,
-         proj.radius, proj.valid.astype(jnp.float32),
-         jnp.zeros_like(proj.depth), jnp.zeros_like(proj.depth),
-         jnp.zeros_like(proj.depth), jnp.zeros_like(proj.depth)],
-        axis=-1,
-    ).astype(jnp.float32)                                   # [N,16]
-    sorted16 = _perm_gather(feats16, perm, inv_perm)
-
-    mean2d = sorted16[:, 0:2]
-    radius = sorted16[:, 10]
-    valid = sorted16[:, 11] > 0.5
-
-    # ---- 2. window candidates + one key sort -------------------------------
-    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_size), 0, ntx)
-    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_size), 0, nty)
-    x1 = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / tile_size) + 1, 0, ntx)
-    y1 = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / tile_size) + 1, 0, nty)
+    # ---- tile spans ----------------------------------------------------------
+    x0 = jnp.clip(jnp.floor((mean_x - radius) / tile_size), 0, ntx)
+    y0 = jnp.clip(jnp.floor((mean_y - radius) / tile_size), 0, nty)
+    x1 = jnp.clip(jnp.floor((mean_x + radius) / tile_size) + 1, 0, ntx)
+    y1 = jnp.clip(jnp.floor((mean_y + radius) / tile_size) + 1, 0, nty)
     x0, y0, x1, y1 = (a.astype(jnp.int32) for a in (x0, y0, x1, y1))
-    x1c = jnp.minimum(x1, x0 + win)
-    y1c = jnp.minimum(y1, y0 + win)
-    overflow = jnp.sum(
-        jnp.where(valid, (x1 - x0) * (y1 - y0) - (x1c - x0) * (y1c - y0), 0)
-    ).astype(jnp.int32)
+    x1a = jnp.minimum(x1, x0 + win)
+    y1a = jnp.minimum(y1, y0 + win)
+    span = jnp.where(valid, (x1 - x0) * (y1 - y0), 0)
+    a_area = (x1a - x0) * (y1a - y0)
+    wanted = jnp.sum(span).astype(jnp.int32)
 
-    li = jnp.arange(maxt, dtype=jnp.int32)
-    lx = li % win
-    ly = li // win
-    tx = x0[:, None] + lx[None]
-    ty = y0[:, None] + ly[None]
-    cand_ok = (tx < x1c[:, None]) & (ty < y1c[:, None]) & valid[:, None]
-    tile_id = ty * ntx + tx
-    n_idx = jnp.arange(n, dtype=jnp.int32)
-    keys = jnp.where(cand_ok, tile_id * n + n_idx[:, None], BIG).reshape(-1)
-    keys_sorted = lax.sort(keys)                             # ONE sort
-
-    # ---- 3. per-tile segments ----------------------------------------------
-    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * n
-    raw_start = jnp.searchsorted(keys_sorted, bounds, side="left").astype(
-        jnp.int32
+    # depth > 0.2 for every valid gaussian, so the u32 bit pattern is a
+    # positive int whose order matches the float order; the zero sign bit
+    # keeps depth_bits strictly below all-ones (never collides with INVALID)
+    depth_bits = lax.shift_right_logical(
+        lax.bitcast_convert_type(proj.depth.astype(jnp.float32), jnp.uint32),
+        jnp.uint32(32 - db),
     )
-    counts = raw_start[1:] - raw_start[:-1]                  # [T]
-    raw_start = raw_start[:-1]
-    seg_pad = -(-counts // chunk) * chunk
-    seg_end = jnp.cumsum(seg_pad)
-    aligned_start = (seg_end - seg_pad).astype(jnp.int32)
-    fits = seg_end <= p_alloc
-    overflow = overflow + jnp.sum(jnp.where(fits, 0, counts)).astype(jnp.int32)
-    tile_count = jnp.where(fits, counts, 0).astype(jnp.int32)
-    tile_start = jnp.where(fits, aligned_start, 0).astype(jnp.int32)
+    view_base = (jnp.arange(v_views, dtype=jnp.int32) * n_tiles)[:, None, None]
 
-    # ---- 4. gather-based aligned placement ---------------------------------
-    r_idx = jnp.arange(p_alloc, dtype=jnp.int32)
-    # which tile owns output row r (binary search over 256 aligned starts)
-    t_of_r = (
-        jnp.searchsorted(aligned_start, r_idx, side="right") - 1
-    ).astype(jnp.int32)
-    t_of_r = jnp.clip(t_of_r, 0, n_tiles - 1)
-    packed = _small_table_lookup(
-        jnp.stack([aligned_start, raw_start, tile_count], axis=-1), t_of_r
+    # ---- base-window candidates (win x win, every gaussian) ------------------
+    li = jnp.arange(a_slots, dtype=jnp.int32)
+    tx = x0[..., None] + li % win             # [V,N,a_slots]
+    ty = y0[..., None] + li // win
+    cand_ok_a = ((tx < x1a[..., None]) & (ty < y1a[..., None])
+                 & valid[..., None])
+    tile_id = (view_base + ty * ntx + tx).astype(jnp.uint32)
+    keys_a = jnp.where(
+        cand_ok_a,
+        lax.shift_left(tile_id, jnp.uint32(db)) | depth_bits[..., None],
+        INVALID,
+    ).reshape(-1)
+    # flat candidate index (v*N + n)*a_slots + w, positionally paired
+    payload_a = ((jnp.arange(v_views, dtype=jnp.int32)[:, None, None] * n
+                  + jnp.arange(n, dtype=jnp.int32)[None, :, None]) * a_slots
+                 + li).reshape(-1)
+
+    # ---- fallback candidates (big_win x big_win, top-K spans per view) -------
+    # gaussians whose span exceeds the base window get their remaining tiles
+    # from a second candidate set over the K largest offenders per view; only
+    # what exceeds BOTH windows (or the K pool) is dropped — and counted.
+    score = jnp.where(valid, span - a_area, 0)            # missing tiles
+    # top-K per view via one flat 1-D sort (lax.top_k and 2-D batched sorts
+    # are an order of magnitude slower on TPU — see PERF.md): key packs
+    # (view, descending clamped score), payload is the gaussian index
+    skey = (jnp.arange(v_views, dtype=jnp.int32)[:, None] * 1024
+            + (1023 - jnp.minimum(score, 1023))).reshape(-1)
+    gidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
+                            (v_views, n)).reshape(-1)
+    _, sel_sorted = lax.sort((skey, gidx), is_stable=False, num_keys=1)
+    sel = sel_sorted.reshape(v_views, n)[:, :k_big]       # [V,K]
+    # one packed row gather for all per-gaussian fields (per-field 2-D
+    # take_along_axis lowers to slow scalar-gather paths)
+    packed = jnp.stack(
+        [x0, y0, x1, y1,
+         lax.bitcast_convert_type(depth_bits, jnp.int32),
+         valid.astype(jnp.int32), x0, y0],
+        axis=-1,
+    ).reshape(v_views * n, 8)
+    rowsel = (jnp.arange(v_views, dtype=jnp.int32)[:, None] * n
+              + sel).reshape(-1)
+    pb = packed[rowsel].reshape(v_views, k_big, 8)
+    x0b, y0b, x1b, y1b = pb[..., 0], pb[..., 1], pb[..., 2], pb[..., 3]
+    depth_bits_b = lax.bitcast_convert_type(pb[..., 4], jnp.uint32)
+    valid_b = pb[..., 5] > 0
+    x1bc = jnp.minimum(x1b, x0b + big_win)
+    y1bc = jnp.minimum(y1b, y0b + big_win)
+    lib = jnp.arange(b_slots, dtype=jnp.int32)
+    lxb, lyb = lib % big_win, lib // big_win
+    txb = x0b[..., None] + lxb                # [V,K,b_slots]
+    tyb = y0b[..., None] + lyb
+    # exclude the base-window block (emitted by the A set for everyone)
+    cand_ok_b = ((txb < x1bc[..., None]) & (tyb < y1bc[..., None])
+                 & valid_b[..., None]
+                 & ~((lxb < win) & (lyb < win)))
+    tile_id_b = ((jnp.arange(v_views, dtype=jnp.int32)[:, None, None]
+                  * n_tiles) + tyb * ntx + txb).astype(jnp.uint32)
+    keys_b = jnp.where(
+        cand_ok_b,
+        lax.shift_left(tile_id_b, jnp.uint32(db)) | depth_bits_b[..., None],
+        INVALID,
+    ).reshape(-1)
+    c_a = v_views * n * a_slots
+    payload_b = (c_a
+                 + (jnp.arange(v_views, dtype=jnp.int32)[:, None, None] * k_big
+                    + jnp.arange(k_big, dtype=jnp.int32)[None, :, None])
+                 * b_slots + lib).reshape(-1)
+
+    keys = jnp.concatenate([keys_a, keys_b])
+    payload = jnp.concatenate([payload_a, payload_b])
+    cand_ok = jnp.concatenate([cand_ok_a.reshape(-1), cand_ok_b.reshape(-1)])
+    keys_s, pay_s = lax.sort((keys, payload), is_stable=False, num_keys=1)
+
+    # ---- per-(view, tile) segments (few queries — cheap) ---------------------
+    bounds = lax.shift_left(
+        jnp.arange(total_tiles, dtype=jnp.uint32), jnp.uint32(db)
     )
-    astart_r, rstart_r, count_r = packed[:, 0], packed[:, 1], packed[:, 2]
-    r_off = r_idx - astart_r
-    valid_out = r_off < count_r
-    sorted_pos = jnp.clip(rstart_r + r_off, 0, keys.shape[0] - 1)
-    key_at = keys_sorted[sorted_pos]                         # row gather
-    gauss_row = key_at % n                                   # depth-order row
+    starts = jnp.searchsorted(keys_s, bounds, side="left").astype(jnp.int32)
+    total_valid = jnp.sum(cand_ok).astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], total_valid[None]])
+    overflow = (wanted - total_valid
+                + jnp.maximum(total_valid - budget, 0))
+    start_c = jnp.minimum(starts, budget)
+    end_c = jnp.minimum(ends, budget)
+    tile_start = start_c
+    tile_count = end_c - start_c
 
-    # zero the aux lanes before placement (the kernel contract reserves them)
-    lane = jnp.arange(PAIR_FEATS)
-    rows16 = jnp.where(lane[None, :] < 10, sorted16, 0.0)
-    placed = _layout_pairs(
-        rows16, gauss_row.astype(jnp.float32),
-        valid_out.astype(jnp.float32), maxt, p_alloc,
-    )
-    feats = placed.reshape(p_alloc // chunk, chunk, PAIR_FEATS)
-    feats = jnp.swapaxes(feats, 1, 2)                        # [NC,16,chunk]
+    # ---- pair feature rows (one gather) ---------------------------------------
+    colb = jnp.broadcast_to(colors[None], (v_views, n, 3))
+    opab = jnp.broadcast_to(jnp.where(valid, opacity[None], 0.0), (v_views, n))
+    zero = jnp.zeros_like(proj.depth)
+    feats16 = jnp.stack(
+        [mean_x, mean_y,
+         proj.conic[..., 0], proj.conic[..., 1], proj.conic[..., 2],
+         colb[..., 0], colb[..., 1], colb[..., 2],
+         opab,
+         proj.depth,
+         zero, zero, zero, zero, zero, zero],
+        axis=-1,
+    ).astype(jnp.float32).reshape(v_views * n, PAIR_FEATS)     # [V*N,16]
 
-    perm_pad = jnp.concatenate([perm, jnp.zeros((1,), jnp.int32)])
-    pair_gauss = perm_pad[jnp.where(valid_out, gauss_row, n)]
-    pair_gauss = jnp.where(valid_out, pair_gauss, 0)
+    placed = _place_pairs(
+        feats16, keys_s[:budget], pay_s, cand_ok, sel.reshape(-1),
+        (v_views, n, k_big, a_slots, b_slots, budget),
+    )                                                          # [budget,16]
+    feats = jnp.swapaxes(placed.reshape(budget // chunk, chunk, PAIR_FEATS),
+                         1, 2)                                 # [NC,16,chunk]
 
-    return TileBinning(
-        feats, pair_gauss, valid_out, tile_start, tile_count, overflow
-    )
+    return TileBinning(feats, tile_start, tile_count, overflow)

@@ -1,11 +1,5 @@
 """Pallas TPU backward kernel: analytic VJP of the tile compositing pass.
 
-Atomics-free by construction (SURVEY.md §7 hard part 1): gradients are written
-at *pair* granularity — each (gaussian, tile) pair owns one row of the output
-buffer inside its tile's chunk-aligned segment, so no two grid programs ever
-write the same row. The pair-level gradients are then scatter-added back to
-per-Gaussian gradients by the autodiff VJP of the binning gather (plain XLA).
-
 Math: replaying front-to-back with the suffix trick. With
 ``u_k = dL/dw_k = g_rgb . c_k + g_depth * depth_k`` and
 ``TOT = sum_j u_j w_j = g_rgb . rgb_out + g_depth * depth_out`` (computable
@@ -17,6 +11,16 @@ per-pixel from the forward outputs alone),
 
 which needs only a running prefix accumulator — no back-to-front pass, unlike
 the CUDA implementation's reverse traversal.
+
+Write side (binning v5): pair segments are NOT chunk-aligned, so a boundary
+chunk holds the tail of one (view, tile) segment and the head of the next
+(possibly across a view boundary — the stream is global). Gradients
+are still written race-free WITHOUT re-laying out the pair stream by
+exploiting that a Pallas TPU grid with "arbitrary" dimension semantics runs
+its programs SEQUENTIALLY on one core: a VMEM carry buffer (scratch persists
+across grid steps) holds each tile's partial tail chunk; the next tile merges
+its head rows into the carry before the chunk is written exactly once. Each
+program's masked rows are exact zeros, so the merge is a plain add.
 """
 
 from __future__ import annotations
@@ -37,6 +41,12 @@ from sigman_release_tpu.ops.rasterizer.pallas_forward import (
 
 T_EPS = 1e-4
 
+# SMEM state persisted across (sequential) grid programs
+_S_CARRY_IDX = 0   # chunk index held in the carry buffer, -1 if none
+_S_WCOUNT = 1      # total emitted writes (selects the write buffer slot)
+_S_ISSUED0 = 2     # write slot 0 has an in-flight/unwaited DMA
+_S_ISSUED1 = 3
+
 
 def _backward_kernel(
     start_ref, count_ref,            # scalar-prefetch
@@ -44,15 +54,26 @@ def _backward_kernel(
     fwd_ref,                         # [1, 8, PX] forward tile buffer, VMEM
     grad_ref,                        # [1, 8, PX] upstream grads, VMEM
     dpairs_hbm,                      # out: [NC, 16, chunk] f32, ANY
-    chunk_vmem, dchunk_vmem, dma_sem, out_sem,
+    chunk_vmem, out_vmem, carry_vmem, state, dma_sem, out_sem,
     *, ntx_per_view, tiles_per_view, chunk,
 ):
     t = pl.program_id(0)
     tile_in_view = t % tiles_per_view
+    is_last = t == pl.num_programs(0) - 1
     start = start_ref[t]
     count = count_ref[t]
     chunk0 = start // chunk
+    off = start % chunk
+    end = start + count
+    end_unaligned = end % chunk != 0
     px, py = _pixel_coords(tile_in_view, ntx_per_view)
+
+    @pl.when(t == 0)
+    def _():
+        state[_S_CARRY_IDX] = -1
+        state[_S_WCOUNT] = 0
+        state[_S_ISSUED0] = 0
+        state[_S_ISSUED1] = 0
 
     g_r = grad_ref[0, 0:1, :]
     g_g = grad_ref[0, 1:2, :]
@@ -68,8 +89,9 @@ def _backward_kernel(
     # per-pixel total weighted-grad sum + final-T path (g_alpha acts on 1 - Tr)
     tot = g_r * rgb_r + g_g * rgb_g + g_b * rgb_b + g_d * dep_o
     tail_const = g_a * Tr                                # enters with - sign
+    g_rgb = jnp.concatenate([g_r, g_g, g_b], axis=0)     # [3,PX]
 
-    n_chunks = pl.cdiv(count, chunk)
+    n_chunks = pl.cdiv(off + count, chunk)
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
     def start_in_dma(c, slot):
@@ -81,8 +103,47 @@ def _backward_kernel(
     def _():
         start_in_dma(0, 0)
 
-    def body(state):
-        c, Tf, prefix = state
+    def emit(ci, data):
+        """Write one [16,chunk] grad block to dpairs[ci] (double-buffered)."""
+        w = state[_S_WCOUNT]
+        slot = w % 2
+
+        @pl.when(state[_S_ISSUED0 + slot] == 1)
+        def _():
+            pltpu.make_async_copy(
+                out_vmem.at[slot], dpairs_hbm.at[0], out_sem.at[slot]
+            ).wait()
+
+        out_vmem[slot] = data
+        pltpu.make_async_copy(
+            out_vmem.at[slot], dpairs_hbm.at[ci], out_sem.at[slot]
+        ).start()
+        state[_S_ISSUED0 + slot] = 1
+        state[_S_WCOUNT] = w + 1
+
+    def place_chunk(c, dT):
+        """Route one computed grad block: merge carry, hold tail, or emit."""
+        ci = chunk0 + c
+        carry_idx = state[_S_CARRY_IDX]
+        is_merge = ci == carry_idx
+        data = dT + jnp.where(is_merge, carry_vmem[0], 0.0)
+        hold = (c == n_chunks - 1) & end_unaligned & jnp.logical_not(is_last)
+
+        @pl.when(hold)
+        def _():
+            carry_vmem[0] = data
+            state[_S_CARRY_IDX] = ci
+
+        @pl.when(jnp.logical_not(hold))
+        def _():
+            emit(ci, data)
+
+            @pl.when(is_merge)
+            def _():
+                state[_S_CARRY_IDX] = -1
+
+    def body(st):
+        c, Tf, prefix = st
         slot = c % 2
         pltpu.make_async_copy(
             pairs_hbm.at[chunk0 + c], chunk_vmem.at[slot], dma_sem.at[slot]
@@ -93,7 +154,8 @@ def _backward_kernel(
             start_in_dma(c + 1, (c + 1) % 2)
 
         feats = chunk_vmem[slot, :, :].T                  # [K,16]
-        row_ok = row < (count - c * chunk)
+        p = c * chunk + row - off
+        row_ok = (p >= 0) & (p < count)
         alpha, gexp, dx, dy, unclamped = _chunk_alpha(feats, px, py, row_ok)
 
         one_m = 1.0 - alpha
@@ -105,7 +167,6 @@ def _backward_kernel(
         w = jnp.where(contrib, alpha * t_excl, 0.0)      # [K,PX]
 
         cols = feats[:, F_R:F_R + 3]
-        g_rgb = jnp.concatenate([g_r, g_g, g_b], axis=0)  # [3,PX]
         u = jax.lax.dot_general(                          # [K,PX]
             cols, g_rgb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -119,7 +180,9 @@ def _backward_kernel(
             0.0,
         )
 
-        # chain to pair parameters; clamp & floor rules gate the gradient
+        # chain to pair parameters; clamp & floor rules gate the gradient.
+        # masked rows (outside [off, off+count)) have live=False -> all
+        # outputs exactly zero, which the carry merge relies on.
         live = (alpha > 0.0) & unclamped
         d_pow = jnp.where(live, d_alpha * alpha, 0.0)     # dalpha/dpower = alpha
         d_opa_px = jnp.where(live, d_alpha * gexp, 0.0)
@@ -145,46 +208,18 @@ def _backward_kernel(
              zeros, zeros, zeros, zeros, zeros, zeros],
             axis=-1,
         )                                                 # [K,16]
-        # double-buffered output: wait for the write issued two chunks ago
-        # before overwriting its buffer
-        @pl.when(c >= 2)
-        def _():
-            pltpu.make_async_copy(
-                dchunk_vmem.at[slot], dpairs_hbm.at[chunk0 + c - 2],
-                out_sem.at[slot],
-            ).wait()
-
-        dchunk_vmem[slot, :, :] = dgrads.T                # [16,K]
-        pltpu.make_async_copy(
-            dchunk_vmem.at[slot], dpairs_hbm.at[chunk0 + c], out_sem.at[slot]
-        ).start()
-
+        place_chunk(c, dgrads.T)
         return (c + 1, t_incl[-1:, :], pref_incl[-1:, :])
 
-    def cond(state):
-        c, Tf, _ = state
+    def cond(st):
+        c, Tf, _ = st
         return (c < n_chunks) & (jnp.max(Tf) >= T_EPS)
 
     init = (jnp.int32(0), jnp.ones((1, PX), jnp.float32),
             jnp.zeros((1, PX), jnp.float32))
     c_end, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # drain: wait for the last (up to two) in-flight output writes and the
-    # prefetched input of an early-terminated loop
-    @pl.when(c_end >= 1)
-    def _():
-        pltpu.make_async_copy(
-            dchunk_vmem.at[(c_end - 1) % 2], dpairs_hbm.at[chunk0 + c_end - 1],
-            out_sem.at[(c_end - 1) % 2],
-        ).wait()
-
-    @pl.when(c_end >= 2)
-    def _():
-        pltpu.make_async_copy(
-            dchunk_vmem.at[c_end % 2], dpairs_hbm.at[chunk0 + c_end - 2],
-            out_sem.at[c_end % 2],
-        ).wait()
-
+    # drain a prefetched input of an early-terminated loop
     @pl.when(c_end < n_chunks)
     def _():
         pltpu.make_async_copy(
@@ -192,17 +227,28 @@ def _backward_kernel(
             dma_sem.at[c_end % 2],
         ).wait()
 
-    # zero the grad rows of chunks skipped by early termination
+    # zero-fill chunks skipped by early termination (same routing rules)
     def zero_body(c):
-        dchunk_vmem[0, :, :] = jnp.zeros((PAIR_FEATS, chunk), jnp.float32)
-        cp = pltpu.make_async_copy(
-            dchunk_vmem.at[0], dpairs_hbm.at[chunk0 + c], out_sem.at[0]
-        )
-        cp.start()
-        cp.wait()
+        place_chunk(c, jnp.zeros((PAIR_FEATS, chunk), jnp.float32))
         return c + 1
 
     jax.lax.while_loop(lambda c: c < n_chunks, zero_body, c_end)
+
+    # the grid's final program flushes any carry left by preceding tiles
+    @pl.when(is_last & (state[_S_CARRY_IDX] >= 0))
+    def _():
+        emit(state[_S_CARRY_IDX], carry_vmem[0])
+        state[_S_CARRY_IDX] = -1
+
+    # the grid's final program must not leave DMAs in flight
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        for slot in (0, 1):
+            @pl.when(state[_S_ISSUED0 + slot] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    out_vmem.at[slot], dpairs_hbm.at[0], out_sem.at[slot]
+                ).wait()
 
 
 @functools.partial(
@@ -210,7 +256,7 @@ def _backward_kernel(
     static_argnames=("ntx_per_view", "tiles_per_view", "chunk", "interpret"),
 )
 def backward_tiles(
-    pair_feats: jnp.ndarray,    # [P_aligned, 16]
+    pair_feats: jnp.ndarray,    # [NC, 16, chunk]
     tile_start: jnp.ndarray,    # [n_programs]
     tile_count: jnp.ndarray,
     fwd_tiles: jnp.ndarray,     # [n_programs, 8, PX] forward outputs
@@ -221,7 +267,7 @@ def backward_tiles(
     chunk: int = 128,
     interpret: bool = False,
 ):
-    """Returns d(pair_feats) [P_aligned, 16]."""
+    """Returns d(pair_feats) [NC, 16, chunk]."""
     n_programs = fwd_tiles.shape[0]
     kernel = functools.partial(
         _backward_kernel,
@@ -243,6 +289,8 @@ def backward_tiles(
         scratch_shapes=[
             pltpu.VMEM((2, PAIR_FEATS, chunk), jnp.float32),
             pltpu.VMEM((2, PAIR_FEATS, chunk), jnp.float32),
+            pltpu.VMEM((1, PAIR_FEATS, chunk), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -252,5 +300,9 @@ def backward_tiles(
         out_shape=jax.ShapeDtypeStruct(pair_feats.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the carry scheme REQUIRES sequential grid execution
+            dimension_semantics=("arbitrary",),
+        ),
     )(tile_start, tile_count, pair_feats, fwd_tiles, grad_tiles)

@@ -95,10 +95,13 @@ def _forward_kernel(
     tile_in_view = t % tiles_per_view
     start = start_ref[t]
     count = count_ref[t]
-    chunk0 = start // chunk          # tile segments are chunk-aligned
+    # segments are NOT chunk-aligned (binning v4): the first/last chunk is
+    # shared with neighbouring tiles; rows outside [off, off+count) mask off
+    chunk0 = start // chunk
+    off = start % chunk
     px, py = _pixel_coords(tile_in_view, ntx_per_view)
 
-    n_chunks = pl.cdiv(count, chunk)
+    n_chunks = pl.cdiv(off + count, chunk)
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
 
     def start_dma(c, slot):
@@ -130,7 +133,8 @@ def _forward_kernel(
             start_dma(c + 1, (c + 1) % 2)
 
         feats = chunk_vmem[slot, :, :].T             # [K,16]
-        row_ok = row < (count - c * chunk)
+        p = c * chunk + row - off                    # pair index within tile
+        row_ok = (p >= 0) & (p < count)
         alpha, _, _, _, _ = _chunk_alpha(feats, px, py, row_ok)
 
         one_m = 1.0 - alpha

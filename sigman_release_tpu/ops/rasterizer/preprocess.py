@@ -94,13 +94,22 @@ def project_gaussians(
     j12 = -focal_y * ty / (tz * tz)
 
     W = cam_view[:3, :3].T                                    # w2c rotation
-    # V = W Sigma W^T ; then cov2d = J V J^T (2x2)
-    sig = _unpack_cov(cov3d)                                  # [N,3,3]
-    V = jnp.einsum("ij,njk,lk->nil", W, sig, W)               # [N,3,3]
+    # V = W Sigma W^T ; then cov2d = J V J^T (2x2). Computed in
+    # struct-of-arrays form: a [N,3,3] einsum forces XLA to pad the tiny
+    # (3,3) trailing dims to full (8,128) vector tiles — a >100x memory
+    # blowup measured as the dominant cost of this stage on-chip.
+    s = [cov3d[:, i] for i in range(6)]     # xx, xy, xz, yy, yz, zz
+    sig_rows = ((s[0], s[1], s[2]), (s[1], s[3], s[4]), (s[2], s[4], s[5]))
 
-    # rows of J: r0 = [j00, 0, j02], r1 = [0, j11, j12]
-    v00 = V[:, 0, 0]; v01 = V[:, 0, 1]; v02 = V[:, 0, 2]
-    v11 = V[:, 1, 1]; v12 = V[:, 1, 2]; v22 = V[:, 2, 2]
+    def wsig(i, k):                          # (W Sigma)[i,k] as [N]
+        return (W[i, 0] * sig_rows[0][k] + W[i, 1] * sig_rows[1][k]
+                + W[i, 2] * sig_rows[2][k])
+
+    def vcomp(i, l):                         # (W Sigma W^T)[i,l] as [N]
+        return wsig(i, 0) * W[l, 0] + wsig(i, 1) * W[l, 1] + wsig(i, 2) * W[l, 2]
+
+    v00 = vcomp(0, 0); v01 = vcomp(0, 1); v02 = vcomp(0, 2)
+    v11 = vcomp(1, 1); v12 = vcomp(1, 2); v22 = vcomp(2, 2)
     c00 = j00 * j00 * v00 + 2 * j00 * j02 * v02 + j02 * j02 * v22 + 0.3
     c11 = j11 * j11 * v11 + 2 * j11 * j12 * v12 + j12 * j12 * v22 + 0.3
     c01 = j00 * j11 * v01 + j00 * j12 * v02 + j02 * j11 * v12 + j02 * j12 * v22
@@ -119,12 +128,3 @@ def project_gaussians(
     return ProjectedGaussians(mean2d, depth, conic, radius, valid)
 
 
-def _unpack_cov(packed: jnp.ndarray) -> jnp.ndarray:
-    """[N,6] (xx,xy,xz,yy,yz,zz) -> [N,3,3] symmetric."""
-    xx, xy, xz, yy, yz, zz = (packed[:, i] for i in range(6))
-    return jnp.stack(
-        [jnp.stack([xx, xy, xz], -1),
-         jnp.stack([xy, yy, yz], -1),
-         jnp.stack([xz, yz, zz], -1)],
-        axis=-2,
-    )

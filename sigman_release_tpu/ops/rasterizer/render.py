@@ -34,8 +34,8 @@ class RasterizeConfig(NamedTuple):
     tan_half_fovx: float = 0.4654
     tan_half_fovy: float = 0.4654
     chunk: int = 128
-    max_tiles_per_gaussian: int = 36
-    pair_budget_factor: int = 8
+    max_tiles_per_gaussian: int = 9
+    pair_budget_factor: int = 5
     interpret: bool = False
 
     @property
@@ -109,29 +109,20 @@ def rasterize_single(
         )
     )(cam_view, cam_view_proj)
 
-    bins = jax.vmap(
-        lambda p: binning_lib.bin_gaussians(
-            p, colors, opacity, cfg.img_h, cfg.img_w,
-            tile_size=TILE,
-            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-            chunk=cfg.chunk,
-            pair_budget=cfg.pair_budget_factor * means3d.shape[0],
-        )
-    )(proj)
-
-    # bins.pair_feats: [V, NC, 16, chunk] -> [V*NC, 16, chunk]; tile starts
-    # offset by whole views (chunk-aligned by construction)
-    nc = bins.pair_feats.shape[1]
-    pair_feats = bins.pair_feats.reshape(
-        V * nc, binning_lib.PAIR_FEATS, cfg.chunk
+    # one flat binning over all V views: one sort, one gather, one global
+    # pair budget (binning v5 — see binning.py module doc)
+    bins = binning_lib.bin_gaussians(
+        proj, colors, opacity, cfg.img_h, cfg.img_w,
+        tile_size=TILE,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        chunk=cfg.chunk,
+        pair_budget=cfg.pair_budget_factor * means3d.shape[0] * V,
     )
-    offsets = (jnp.arange(V, dtype=jnp.int32) * nc * cfg.chunk)[:, None]
-    tile_start = (bins.tile_start + offsets).reshape(-1)
-    tile_count = bins.tile_count.reshape(-1)
 
     tiles = _composite(
-        cfg, pair_feats,
-        tile_start.astype(jnp.float32), tile_count.astype(jnp.float32),
+        cfg, bins.pair_feats,
+        bins.tile_start.astype(jnp.float32),
+        bins.tile_count.astype(jnp.float32),
     )                                                   # [V*n_tiles, 8, PX]
 
     rgb, depth, alpha = _assemble(tiles, V, cfg)
@@ -140,7 +131,7 @@ def rasterize_single(
         "image": jnp.clip(image, 0.0, 1.0),
         "alpha": alpha,
         "depth": depth,
-        "overflow": jnp.sum(bins.overflow),
+        "overflow": bins.overflow,
     }
 
 
