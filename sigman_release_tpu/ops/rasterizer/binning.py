@@ -71,40 +71,37 @@ def _float0(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def _place_pairs(feats16, keys_prefix, payload, cand_ok, sel_flat, dims):
+def _place_pairs(feats16, keys_prefix, rowid_prefix, payload, total_valid,
+                 sel_flat, dims):
     """Gather sorted-prefix pair rows into the dense pair stream.
 
-    Candidates come from two windows (see ``bin_gaussians``): base-window
-    payloads < c_a decode as ``payload // a_slots`` = flat (view, gaussian)
-    row; fallback payloads decode through the per-view top-K selection
-    table ``sel_flat``. Empty / past-stream slots take a zero row.
+    ``rowid_prefix`` carries each sorted slot's flat (view, gaussian) feats
+    row directly (it rode through the binning sort as a second payload), so
+    placement is a single masked row gather — no per-row decode. Empty /
+    past-stream slots take a zero row. The VJP needs no validity mask: the
+    backward kernel zero-fills every chunk beyond the valid stream, so
+    clipped or invalid candidates read exact zeros.
     ``dims = (v, n, k_big, a_slots, b_slots, budget)`` (static).
     """
     v, n, k_big, a_slots, b_slots, budget = dims
-    c_a = v * n * a_slots
-    pay = payload[:budget]
-    q = jnp.maximum(pay - c_a, 0)
-    vk = q // b_slots
-    brow = (vk // k_big) * n + sel_flat[vk]
-    arow = pay // a_slots
-    idx = jnp.where(
-        keys_prefix == INVALID, v * n, jnp.where(pay >= c_a, brow, arow)
-    )
+    idx = jnp.where(keys_prefix == INVALID, v * n, rowid_prefix)
     src = jnp.concatenate([feats16, jnp.zeros((1, feats16.shape[1]),
                                               feats16.dtype)])
     return src[idx]
 
 
-_place_pairs = jax.custom_vjp(_place_pairs, nondiff_argnums=(5,))
+_place_pairs = jax.custom_vjp(_place_pairs, nondiff_argnums=(6,))
 
 
-def _place_fwd(feats16, keys_prefix, payload, cand_ok, sel_flat, dims):
-    out = _place_pairs(feats16, keys_prefix, payload, cand_ok, sel_flat, dims)
-    return out, (payload, cand_ok, sel_flat, keys_prefix)
+def _place_fwd(feats16, keys_prefix, rowid_prefix, payload, total_valid,
+               sel_flat, dims):
+    out = _place_pairs(feats16, keys_prefix, rowid_prefix, payload,
+                       total_valid, sel_flat, dims)
+    return out, (payload, sel_flat, keys_prefix, rowid_prefix, total_valid)
 
 
 def _place_bwd(dims, res, g):
-    payload, cand_ok, sel_flat, keys_prefix = res
+    payload, sel_flat, keys_prefix, rowid_prefix, total_valid = res
     v, n, k_big, a_slots, b_slots, budget = dims
     c_a = v * n * a_slots
     P = payload.shape[0]
@@ -113,20 +110,20 @@ def _place_bwd(dims, res, g):
     _, pos = lax.sort(
         (payload, jnp.arange(P, dtype=jnp.int32)), is_stable=False, num_keys=1
     )
-    rows = jnp.minimum(pos, budget)            # clipped/invalid -> zero pad row
+    # invalid/clipped candidates ALL read the single pad row instead of
+    # scattered zero rows in the stream tail — halves the random HBM reads
+    # of this gather (the dominant backward cost outside the kernel)
+    rows = jnp.where(pos < jnp.minimum(total_valid, budget), pos, budget)
     gpad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
-    # valid candidates always sort before invalid ones, so pos < budget
-    # implies a kernel-written row whenever cand_ok; the where() also blocks
-    # garbage from never-written suffix chunks (uninitialized HBM)
-    d = jnp.where(cand_ok[:, None], gpad[rows], 0.0)
     f = g.shape[1]
-    d_a = d[:c_a].reshape(v, n, a_slots, f).sum(axis=2)        # [V,N,16]
-    d_b = d[c_a:].reshape(v, k_big, b_slots, f).sum(axis=2)    # [V,K,16]
+    d_a = gpad[rows[:c_a]].reshape(v, n, a_slots, f).sum(axis=2)     # [V,N,16]
+    d_b = gpad[rows[c_a:]].reshape(v, k_big, b_slots, f).sum(axis=2)  # [V,K,16]
     sel = sel_flat.reshape(v, k_big)
     # K is small (n // big_frac): a per-view K-row scatter-add is cheap
     d_feats = jax.vmap(lambda da, s, db: da.at[s].add(db))(d_a, sel, d_b)
     return (d_feats.reshape(v * n, f), _float0(keys_prefix),
-            _float0(payload), _float0(cand_ok), _float0(sel_flat))
+            _float0(rowid_prefix), _float0(payload), _float0(total_valid),
+            _float0(sel_flat))
 
 
 _place_pairs.defvjp(_place_fwd, _place_bwd)
@@ -203,9 +200,10 @@ def bin_gaussians(
         INVALID,
     ).reshape(-1)
     # flat candidate index (v*N + n)*a_slots + w, positionally paired
-    payload_a = ((jnp.arange(v_views, dtype=jnp.int32)[:, None, None] * n
-                  + jnp.arange(n, dtype=jnp.int32)[None, :, None]) * a_slots
-                 + li).reshape(-1)
+    vn_a = (jnp.arange(v_views, dtype=jnp.int32)[:, None, None] * n
+            + jnp.arange(n, dtype=jnp.int32)[None, :, None])      # [V,N,1]
+    payload_a = (vn_a * a_slots + li).reshape(-1)
+    rowid_a = jnp.broadcast_to(vn_a, cand_ok_a.shape).reshape(-1)
 
     # ---- fallback candidates (big_win x big_win, top-K spans per view) -------
     # gaussians whose span exceeds the base window get their remaining tiles
@@ -257,11 +255,18 @@ def bin_gaussians(
                  + (jnp.arange(v_views, dtype=jnp.int32)[:, None, None] * k_big
                     + jnp.arange(k_big, dtype=jnp.int32)[None, :, None])
                  * b_slots + lib).reshape(-1)
+    rowid_b = jnp.broadcast_to(
+        (jnp.arange(v_views, dtype=jnp.int32)[:, None] * n + sel)[..., None],
+        cand_ok_b.shape,
+    ).reshape(-1)
 
     keys = jnp.concatenate([keys_a, keys_b])
     payload = jnp.concatenate([payload_a, payload_b])
+    rowid = jnp.concatenate([rowid_a, rowid_b])
     cand_ok = jnp.concatenate([cand_ok_a.reshape(-1), cand_ok_b.reshape(-1)])
-    keys_s, pay_s = lax.sort((keys, payload), is_stable=False, num_keys=1)
+    keys_s, pay_s, row_s = lax.sort(
+        (keys, payload, rowid), is_stable=False, num_keys=1
+    )
 
     # ---- per-(view, tile) segments (few queries — cheap) ---------------------
     bounds = lax.shift_left(
@@ -292,8 +297,8 @@ def bin_gaussians(
     ).astype(jnp.float32).reshape(v_views * n, PAIR_FEATS)     # [V*N,16]
 
     placed = _place_pairs(
-        feats16, keys_s[:budget], pay_s, cand_ok, sel.reshape(-1),
-        (v_views, n, k_big, a_slots, b_slots, budget),
+        feats16, keys_s[:budget], row_s[:budget], pay_s, total_valid,
+        sel.reshape(-1), (v_views, n, k_big, a_slots, b_slots, budget),
     )                                                          # [budget,16]
     feats = jnp.swapaxes(placed.reshape(budget // chunk, chunk, PAIR_FEATS),
                          1, 2)                                 # [NC,16,chunk]

@@ -53,6 +53,7 @@ def _backward_kernel(
     pairs_hbm,                       # [NC, 16, chunk] f32, ANY
     fwd_ref,                         # [1, 8, PX] forward tile buffer, VMEM
     grad_ref,                        # [1, 8, PX] upstream grads, VMEM
+    zinit_hbm,                       # [NC, 16, chunk] zeros, aliased to out
     dpairs_hbm,                      # out: [NC, 16, chunk] f32, ANY
     chunk_vmem, out_vmem, carry_vmem, state, dma_sem, out_sem,
     *, ntx_per_view, tiles_per_view, chunk,
@@ -162,7 +163,7 @@ def _backward_kernel(
         lg = jnp.log(one_m)
         cum_incl = _cumsum0(lg)
         t_incl = Tf * jnp.exp(cum_incl)
-        t_excl = Tf * jnp.exp(cum_incl - lg)
+        t_excl = t_incl / one_m                      # one_m >= 0.01: safe
         contrib = t_incl >= T_EPS
         w = jnp.where(contrib, alpha * t_excl, 0.0)      # [K,PX]
 
@@ -219,20 +220,15 @@ def _backward_kernel(
             jnp.zeros((1, PX), jnp.float32))
     c_end, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # drain a prefetched input of an early-terminated loop
+    # drain a prefetched input of an early-terminated loop; skipped chunks
+    # need no zero-fill — the output buffer is zero-initialized via
+    # input_output_aliases, and saturated pairs have exactly zero gradient
     @pl.when(c_end < n_chunks)
     def _():
         pltpu.make_async_copy(
             pairs_hbm.at[chunk0 + c_end], chunk_vmem.at[c_end % 2],
             dma_sem.at[c_end % 2],
         ).wait()
-
-    # zero-fill chunks skipped by early termination (same routing rules)
-    def zero_body(c):
-        place_chunk(c, jnp.zeros((PAIR_FEATS, chunk), jnp.float32))
-        return c + 1
-
-    jax.lax.while_loop(lambda c: c < n_chunks, zero_body, c_end)
 
     # the grid's final program flushes any carry left by preceding tiles
     @pl.when(is_last & (state[_S_CARRY_IDX] >= 0))
@@ -284,6 +280,7 @@ def backward_tiles(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, PX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
@@ -295,14 +292,21 @@ def backward_tiles(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # the output is zero-INITIALIZED by aliasing a zeros input (an XLA
+    # memset, ~free): chunks beyond the valid stream or skipped by early
+    # termination then hold exact zeros, which the binning VJP relies on
+    # (no validity mask on its regroup gather). Index 5 = the zeros operand
+    # counting the two scalar-prefetch args.
+    zinit = jnp.zeros(pair_feats.shape, jnp.float32)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(pair_feats.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # the carry scheme REQUIRES sequential grid execution
             dimension_semantics=("arbitrary",),
         ),
-    )(tile_start, tile_count, pair_feats, fwd_tiles, grad_tiles)
+    )(tile_start, tile_count, pair_feats, fwd_tiles, grad_tiles, zinit)

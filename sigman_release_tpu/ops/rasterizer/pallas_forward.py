@@ -141,7 +141,7 @@ def _forward_kernel(
         lg = jnp.log(one_m)                          # alpha <= 0.99 -> finite
         cum_incl = _cumsum0(lg)                      # [K,PX]
         t_incl = Tf * jnp.exp(cum_incl)
-        t_excl = Tf * jnp.exp(cum_incl - lg)
+        t_excl = t_incl / one_m                      # one_m >= 0.01: safe
         contrib = t_incl >= T_EPS
         w = jnp.where(contrib, alpha * t_excl, 0.0)  # [K,PX]
 
