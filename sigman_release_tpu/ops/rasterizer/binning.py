@@ -58,30 +58,39 @@ INVALID = jnp.uint32(0xFFFFFFFF)
 
 
 class TileBinning(NamedTuple):
-    """Per-(view, tile) pair segments in one sorted pair stream."""
+    """Binning result: per-(view, tile) segments + placement ingredients.
 
-    pair_feats: jnp.ndarray   # [NC, 16, chunk] f32 chunk blocks (all views)
-    tile_start: jnp.ndarray   # [V*n_tiles] int32 absolute pair index (NOT
-    #                           chunk-aligned — kernels mask partials)
-    tile_count: jnp.ndarray   # [V*n_tiles] int32 pairs in the segment
-    overflow: jnp.ndarray     # [] int32 — dropped (gaussian, tile) pairs
+    Placement (the [budget, 16] gather producing the dense pair stream) and
+    its gradient regroup are NOT performed here — they live inside the
+    renderer's single custom-VJP boundary (render._composite) so the
+    backward pair-gradient stream can use a narrower dtype internally
+    without crossing a custom_vjp cotangent-dtype check.
+    """
+
+    feats16: jnp.ndarray       # [V*N, 16] f32 per-(view, gaussian) pair rows
+    keys_prefix: jnp.ndarray   # [budget] u32 sorted keys (INVALID past end)
+    rowid_prefix: jnp.ndarray  # [budget] i32 flat (view, gaussian) feats row
+    payload: jnp.ndarray       # [P] i32 sorted flat candidate indices
+    total_valid: jnp.ndarray   # [] i32 valid candidates (<= P)
+    sel_flat: jnp.ndarray      # [V*K] i32 per-view fallback gaussian ids
+    tile_start: jnp.ndarray    # [V*n_tiles] i32 absolute pair index (NOT
+    #                            chunk-aligned — kernels mask partials)
+    tile_count: jnp.ndarray    # [V*n_tiles] i32 pairs in the segment
+    overflow: jnp.ndarray      # [] i32 — dropped (gaussian, tile) pairs
+    dims: tuple                # static (v, n, k_big, a_slots, b_slots, budget)
 
 
 def _float0(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def _place_pairs(feats16, keys_prefix, rowid_prefix, payload, total_valid,
-                 sel_flat, dims):
-    """Gather sorted-prefix pair rows into the dense pair stream.
+def place_pairs(feats16, keys_prefix, rowid_prefix, dims):
+    """Gather sorted-prefix pair rows into the dense [budget, 16] stream.
 
     ``rowid_prefix`` carries each sorted slot's flat (view, gaussian) feats
     row directly (it rode through the binning sort as a second payload), so
     placement is a single masked row gather — no per-row decode. Empty /
-    past-stream slots take a zero row. The VJP needs no validity mask: the
-    backward kernel zero-fills every chunk beyond the valid stream, so
-    clipped or invalid candidates read exact zeros.
-    ``dims = (v, n, k_big, a_slots, b_slots, budget)`` (static).
+    past-stream slots take a zero row.
     """
     v, n, k_big, a_slots, b_slots, budget = dims
     idx = jnp.where(keys_prefix == INVALID, v * n, rowid_prefix)
@@ -90,18 +99,16 @@ def _place_pairs(feats16, keys_prefix, rowid_prefix, payload, total_valid,
     return src[idx]
 
 
-_place_pairs = jax.custom_vjp(_place_pairs, nondiff_argnums=(6,))
+def regroup_pair_grads(g, payload, total_valid, sel_flat, dims):
+    """Transpose of ``place_pairs``: stream gradients -> d(feats16) [V*N,16].
 
-
-def _place_fwd(feats16, keys_prefix, rowid_prefix, payload, total_valid,
-               sel_flat, dims):
-    out = _place_pairs(feats16, keys_prefix, rowid_prefix, payload,
-                       total_valid, sel_flat, dims)
-    return out, (payload, sel_flat, keys_prefix, rowid_prefix, total_valid)
-
-
-def _place_bwd(dims, res, g):
-    payload, sel_flat, keys_prefix, rowid_prefix, total_valid = res
+    ``g`` is the pair-gradient stream in sorted order ([budget, 16], f32 OR
+    bf16 — the dominant cost here is the random row gather from the
+    budget-sized table, and a bf16 table runs ~4x faster on TPU; sums are
+    always f32). Requires the stream to be exact zeros beyond the valid
+    prefix (the backward kernel zero-initializes its output), so no validity
+    mask is needed.
+    """
     v, n, k_big, a_slots, b_slots, budget = dims
     c_a = v * n * a_slots
     P = payload.shape[0]
@@ -116,17 +123,24 @@ def _place_bwd(dims, res, g):
     rows = jnp.where(pos < jnp.minimum(total_valid, budget), pos, budget)
     gpad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
     f = g.shape[1]
-    d_a = gpad[rows[:c_a]].reshape(v, n, a_slots, f).sum(axis=2)     # [V,N,16]
-    d_b = gpad[rows[c_a:]].reshape(v, k_big, b_slots, f).sum(axis=2)  # [V,K,16]
+
+    def slot_sum(x, slots):
+        # contraction with ones + f32 accumulation: sums the window-slot
+        # axis WITHOUT materializing an f32 copy of the gathered stream
+        # (a plain astype(f32).sum() writes the full converted array first)
+        x = x.reshape(-1, slots, f)
+        ones = jnp.ones((slots,), x.dtype)
+        return jax.lax.dot_general(
+            ones, x, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    d_a = slot_sum(gpad[rows[:c_a]], a_slots).reshape(v, n, f)    # [V,N,16]
+    d_b = slot_sum(gpad[rows[c_a:]], b_slots).reshape(v, k_big, f)  # [V,K,16]
     sel = sel_flat.reshape(v, k_big)
     # K is small (n // big_frac): a per-view K-row scatter-add is cheap
     d_feats = jax.vmap(lambda da, s, db: da.at[s].add(db))(d_a, sel, d_b)
-    return (d_feats.reshape(v * n, f), _float0(keys_prefix),
-            _float0(rowid_prefix), _float0(payload), _float0(total_valid),
-            _float0(sel_flat))
-
-
-_place_pairs.defvjp(_place_fwd, _place_bwd)
+    return d_feats.reshape(v * n, f)
 
 
 def bin_gaussians(
@@ -296,11 +310,15 @@ def bin_gaussians(
         axis=-1,
     ).astype(jnp.float32).reshape(v_views * n, PAIR_FEATS)     # [V*N,16]
 
-    placed = _place_pairs(
-        feats16, keys_s[:budget], row_s[:budget], pay_s, total_valid,
-        sel.reshape(-1), (v_views, n, k_big, a_slots, b_slots, budget),
-    )                                                          # [budget,16]
-    feats = jnp.swapaxes(placed.reshape(budget // chunk, chunk, PAIR_FEATS),
-                         1, 2)                                 # [NC,16,chunk]
-
-    return TileBinning(feats, tile_start, tile_count, overflow)
+    return TileBinning(
+        feats16=feats16,
+        keys_prefix=keys_s[:budget],
+        rowid_prefix=row_s[:budget],
+        payload=pay_s,
+        total_valid=total_valid,
+        sel_flat=sel.reshape(-1),
+        tile_start=tile_start,
+        tile_count=tile_count,
+        overflow=overflow,
+        dims=(v_views, n, k_big, a_slots, b_slots, budget),
+    )

@@ -85,13 +85,32 @@ def _chunk_alpha(feats, px, py, row_ok):
 
 
 def _forward_kernel(
-    start_ref, count_ref,           # scalar-prefetch [n_programs]
+    start_ref, count_ref,           # scalar-prefetch [n_tiles_total]
     pairs_hbm,                      # [NC, 16, chunk] f32 in ANY/HBM
-    out_ref,                        # [1, 8, PX] f32 per-tile output block
+    out_ref,                        # [T, 8, PX] f32 per-program output block
     chunk_vmem, dma_sem,            # scratch
-    *, ntx_per_view, tiles_per_view, chunk,
+    *, ntx_per_view, tiles_per_view, chunk, tiles_per_program,
 ):
-    t = pl.program_id(0)
+    # T tiles per grid program: the fixed per-program cost (prologue, block
+    # copies, scalar bookkeeping) measured ~4.5us — at one tile per program
+    # it DOMINATED the kernel (2560 near-empty programs = ~11.5 ms). The
+    # fori_loop amortizes it across T consecutive tiles.
+    tp = pl.program_id(0)
+
+    def tile_body(tt, _):
+        t = tp * tiles_per_program + tt
+        _forward_one_tile(t, tt, start_ref, count_ref, pairs_hbm, out_ref,
+                          chunk_vmem, dma_sem, ntx_per_view, tiles_per_view,
+                          chunk)
+        return 0
+
+    jax.lax.fori_loop(0, tiles_per_program, tile_body, 0)
+
+
+def _forward_one_tile(
+    t, tt, start_ref, count_ref, pairs_hbm, out_ref, chunk_vmem, dma_sem,
+    ntx_per_view, tiles_per_view, chunk,
+):
     tile_in_view = t % tiles_per_view
     start = start_ref[t]
     count = count_ref[t]
@@ -173,14 +192,14 @@ def _forward_kernel(
             dma_sem.at[c_end % 2],
         ).wait()
 
-    out_ref[0, 0, :] = r[0]
-    out_ref[0, 1, :] = g[0]
-    out_ref[0, 2, :] = b[0]
-    out_ref[0, 3, :] = d[0]
-    out_ref[0, 4, :] = 1.0 - Tr[0]
-    out_ref[0, 5, :] = Tr[0]
-    out_ref[0, 6, :] = zero[0]
-    out_ref[0, 7, :] = zero[0]
+    out_ref[tt, 0, :] = r[0]
+    out_ref[tt, 1, :] = g[0]
+    out_ref[tt, 2, :] = b[0]
+    out_ref[tt, 3, :] = d[0]
+    out_ref[tt, 4, :] = 1.0 - Tr[0]
+    out_ref[tt, 5, :] = Tr[0]
+    out_ref[tt, 6, :] = zero[0]
+    out_ref[tt, 7, :] = zero[0]
 
 
 @functools.partial(
@@ -203,18 +222,20 @@ def forward_tiles(
 
     Rows: 0-2 rgb (no background), 3 depth, 4 accumulated alpha, 5 final T.
     """
+    tpp = tiles_per_program(n_programs)
     kernel = functools.partial(
         _forward_kernel,
         ntx_per_view=ntx_per_view,
         tiles_per_view=tiles_per_view,
         chunk=chunk,
+        tiles_per_program=tpp,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_programs,),
+        grid=(n_programs // tpp,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 8, PX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (tpp, 8, PX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, PAIR_FEATS, chunk), jnp.float32),
@@ -227,3 +248,11 @@ def forward_tiles(
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_start, tile_count, pair_feats)
+
+
+def tiles_per_program(n_tiles_total: int, cap: int = 8) -> int:
+    """Largest power of two <= cap dividing the total tile-program count."""
+    t = 1
+    while t < cap and n_tiles_total % (t * 2) == 0:
+        t *= 2
+    return t

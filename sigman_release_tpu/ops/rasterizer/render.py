@@ -37,6 +37,13 @@ class RasterizeConfig(NamedTuple):
     max_tiles_per_gaussian: int = 9
     pair_budget_factor: int = 5
     interpret: bool = False
+    # backward pair-gradient stream in bf16: ~4x faster gradient regroup
+    # (the random row gather from the budget-sized grad table is the
+    # dominant backward cost; bf16 rows hit a much faster gather path and
+    # halve the kernel's write traffic). Per-pair grads round to bf16
+    # (~0.4% rel) before the f32 window sums; set False for strict-parity
+    # f32 accumulation (the CUDA reference accumulates f32).
+    grad_stream_bf16: bool = True
 
     @property
     def ntx(self) -> int:
@@ -51,8 +58,27 @@ class RasterizeConfig(NamedTuple):
         return self.ntx * self.nty
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _composite(cfg: RasterizeConfig, pair_feats, tile_start_f, tile_count_f):
+def _place_and_chunk(cfg, dims, feats16, keys_prefix, rowid_prefix):
+    """[V*N,16] rows -> dense chunked pair stream [NC, 16, chunk]."""
+    budget = dims[-1]
+    placed = binning_lib.place_pairs(feats16, keys_prefix, rowid_prefix, dims)
+    return jnp.swapaxes(
+        placed.reshape(budget // cfg.chunk, cfg.chunk,
+                       binning_lib.PAIR_FEATS), 1, 2,
+    )
+
+
+# ONE custom-VJP boundary covering placement + tile compositing. Fusing the
+# two (they used to be separate custom_vjps) lets the backward pass keep the
+# pair-gradient stream in bf16 end to end — kernel store -> regroup gather —
+# without ever violating a cotangent-dtype check at a custom_vjp seam: the
+# only cotangent crossing this boundary is the small f32 d(feats16).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _composite(cfg: RasterizeConfig, dims, feats16, keys_prefix,
+               rowid_prefix, payload, total_valid, sel_flat,
+               tile_start_f, tile_count_f):
+    pair_feats = _place_and_chunk(cfg, dims, feats16, keys_prefix,
+                                  rowid_prefix)
     tiles = pallas_forward.forward_tiles(
         pair_feats,
         tile_start_f.astype(jnp.int32),
@@ -66,13 +92,29 @@ def _composite(cfg: RasterizeConfig, pair_feats, tile_start_f, tile_count_f):
     return tiles
 
 
-def _composite_fwd(cfg, pair_feats, tile_start_f, tile_count_f):
-    tiles = _composite(cfg, pair_feats, tile_start_f, tile_count_f)
-    return tiles, (pair_feats, tile_start_f, tile_count_f, tiles)
+def _composite_fwd(cfg, dims, feats16, keys_prefix, rowid_prefix, payload,
+                   total_valid, sel_flat, tile_start_f, tile_count_f):
+    pair_feats = _place_and_chunk(cfg, dims, feats16, keys_prefix,
+                                  rowid_prefix)
+    tiles = pallas_forward.forward_tiles(
+        pair_feats,
+        tile_start_f.astype(jnp.int32),
+        tile_count_f.astype(jnp.int32),
+        n_programs=tile_start_f.shape[0],
+        ntx_per_view=cfg.ntx,
+        tiles_per_view=cfg.n_tiles,
+        chunk=cfg.chunk,
+        interpret=cfg.interpret,
+    )
+    res = (pair_feats, payload, total_valid, sel_flat,
+           tile_start_f, tile_count_f, tiles)
+    return tiles, res
 
 
-def _composite_bwd(cfg, res, g_tiles):
-    pair_feats, tile_start_f, tile_count_f, tiles = res
+def _composite_bwd(cfg, dims, res, g_tiles):
+    (pair_feats, payload, total_valid, sel_flat,
+     tile_start_f, tile_count_f, tiles) = res
+    budget = dims[-1]
     d_pairs = pallas_backward.backward_tiles(
         pair_feats,
         tile_start_f.astype(jnp.int32),
@@ -83,8 +125,25 @@ def _composite_bwd(cfg, res, g_tiles):
         tiles_per_view=cfg.n_tiles,
         chunk=cfg.chunk,
         interpret=cfg.interpret,
+        out_bf16=cfg.grad_stream_bf16,
+    )                                        # [NC, 16, chunk] f32 | bf16
+    g_stream = jnp.swapaxes(d_pairs, 1, 2).reshape(
+        budget, binning_lib.PAIR_FEATS
     )
-    return (d_pairs, jnp.zeros_like(tile_start_f), jnp.zeros_like(tile_count_f))
+    d_feats16 = binning_lib.regroup_pair_grads(
+        g_stream, payload, total_valid, sel_flat, dims
+    )
+    f0 = binning_lib._float0
+    return (
+        d_feats16,
+        f0(jnp.zeros((budget,), jnp.uint32)),  # keys_prefix
+        f0(jnp.zeros((budget,), jnp.int32)),   # rowid_prefix
+        f0(payload),
+        f0(total_valid),
+        f0(sel_flat),
+        jnp.zeros_like(tile_start_f),
+        jnp.zeros_like(tile_count_f),
+    )
 
 
 _composite.defvjp(_composite_fwd, _composite_bwd)
@@ -120,7 +179,8 @@ def rasterize_single(
     )
 
     tiles = _composite(
-        cfg, bins.pair_feats,
+        cfg, bins.dims, bins.feats16, bins.keys_prefix, bins.rowid_prefix,
+        bins.payload, bins.total_valid, bins.sel_flat,
         bins.tile_start.astype(jnp.float32),
         bins.tile_count.astype(jnp.float32),
     )                                                   # [V*n_tiles, 8, PX]
