@@ -83,13 +83,124 @@ def dit_key_map(n_layers: int):
     return m
 
 
-def convert_dit(sd: dict, params, n_layers: int, verbose=True):
-    """Apply the mapping into a freshly-initialized flax params tree."""
+def _t_conv3d(w):
+    # torch OIDHW -> flax DHWIO
+    return np.asarray(w).transpose(2, 3, 4, 1, 0)
+
+
+def vae_key_map(enc_channels=(128, 256, 256, 512),
+                dec_channels=(256, 512, 512, 1024),
+                enc_layers=2, dec_layers=3, self_attention_layers=6):
+    """torch VAE state_dict (autoencoder.safetensors — the reference ``VAE``
+    module incl. Conv_VAE, /root/reference/core/modules/autoencoder.py:201-250,
+    saved per train_vae.py:216-228 and loaded by Load_VAE,
+    DiT_utils.py:773-830) -> flax VAEModel paths."""
+    m = {}
+
+    def conv2(t, f):
+        m[f"{t}.weight"] = (f + ("kernel",), _t_conv)
+        m[f"{t}.bias"] = (f + ("bias",), np.asarray)
+
+    def conv3(t, f):
+        m[f"{t}.weight"] = (f + ("kernel",), _t_conv3d)
+        m[f"{t}.bias"] = (f + ("bias",), np.asarray)
+
+    def norm(t, f):  # GroupNorm / LayerNorm: weight -> scale
+        m[f"{t}.weight"] = (f + ("scale",), np.asarray)
+        m[f"{t}.bias"] = (f + ("bias",), np.asarray)
+
+    def lin(t, f, bias=True):
+        m[f"{t}.weight"] = (f + ("kernel",), _t_linear)
+        if bias:
+            m[f"{t}.bias"] = (f + ("bias",), np.asarray)
+
+    def resnet(t, f, conv, in_ch, out_ch):
+        norm(f"{t}.norm1", f + ("norm1",))
+        conv(f"{t}.conv1", f + ("conv1",))
+        norm(f"{t}.norm2", f + ("norm2",))
+        conv(f"{t}.conv2", f + ("conv2",))
+        if in_ch != out_ch:
+            conv(f"{t}.conv_shortcut", f + ("conv_shortcut",))
+
+    def attention(t, f, cross=False):
+        """diffusers Attention as configured by VAE_CrossAttention /
+        Conv_Atten_Block (vae_utils.py:1284-1307): group_norm on query,
+        qk layer_norm, inner = heads*dim_head, out projection with bias."""
+        norm(f"{t}.group_norm", f + ("group_norm",))
+        lin(f"{t}.to_q", f + ("to_q",), bias=False)
+        lin(f"{t}.to_k", f + ("to_k",), bias=False)
+        lin(f"{t}.to_v", f + ("to_v",), bias=False)
+        norm(f"{t}.norm_q", f + ("norm_q",))
+        norm(f"{t}.norm_k", f + ("norm_k",))
+        lin(f"{t}.to_out.0", f + ("to_out",))
+        if cross:
+            norm(f"{t}.norm_cross", f + ("norm_cross",))
+
+    ae = ("params", "autoencoder")
+
+    # ---- encoder (VAE_Encoder3D_atten: conv_in + 4 DownBlock3D) ----------
+    enc = ae + ("encoder",)
+    conv3("autoencoder.encoder.conv_in", enc + ("conv_in",))
+    prev = enc_channels[0]
+    for i, ch in enumerate(enc_channels):
+        for j in range(enc_layers):
+            in_ch = prev if j == 0 else ch
+            resnet(f"autoencoder.encoder.down_blocks.{i}.resnets.{j}",
+                   enc + (f"down_blocks_{i}_resnets_{j}",), conv3, in_ch, ch)
+        if i < len(enc_channels) - 1:
+            conv2(f"autoencoder.encoder.down_blocks.{i}.downsamplers.0.conv",
+                  enc + (f"down_blocks_{i}_downsamplers_0", "conv"))
+        prev = ch
+
+    # ---- UV-query bottleneck ---------------------------------------------
+    m["autoencoder.uv_latent"] = (ae + ("uv_latent",), np.asarray)
+    conv2("autoencoder.uv_encoding.0", ae + ("uv_encoding_0",))
+    norm("autoencoder.uv_encoding.1", ae + ("uv_encoding_1",))
+    attention("autoencoder.attention.cross_attn",
+              ae + ("attention_cross_attn",), cross=True)
+    for i in range(self_attention_layers):
+        t = f"autoencoder.attention.middle_layers.{i}"
+        f = ae + (f"attention_middle_layers_{i}",)
+        conv2(f"{t}.conv", f + ("conv",))
+        norm(f"{t}.norm", f + ("norm",))
+        attention(f"{t}.attn", f + ("attn",))
+    lin("autoencoder.projection", ae + ("projection",))
+
+    # ---- decoder (VAE_Decoder2D: conv_in + 4 UpBlock2D of dec_layers+1) --
+    dec = ae + ("decoder",)
+    chans = list(reversed(dec_channels))
+    conv2("autoencoder.decoder.conv_in", dec + ("conv_in",))
+    prev = chans[0]
+    for i, ch in enumerate(chans):
+        for j in range(dec_layers + 1):
+            in_ch = prev if j == 0 else ch
+            resnet(f"autoencoder.decoder.up_blocks.{i}.resnets.{j}",
+                   dec + (f"up_blocks_{i}_resnets_{j}",), conv2, in_ch, ch)
+        if i < len(chans) - 1:
+            conv2(f"autoencoder.decoder.up_blocks.{i}.upsamplers.0.conv",
+                  dec + (f"up_blocks_{i}_upsamplers_0", "conv"))
+        prev = ch
+    norm("autoencoder.decoder.norm_out", dec + ("norm_out",))
+    conv2("autoencoder.decoder.conv_out", dec + ("conv_out",))
+
+    # ---- gaussian heads (on the VAE wrapper, autoencoder.py:246-248) -----
+    conv2("decode_gaussian_geo", ("params", "heads", "decode_gaussian_geo"))
+    conv2("decode_gaussian_rgb", ("params", "heads", "decode_gaussian_rgb"))
+    return m
+
+
+# non-parameter buffers present in the torch state dict by design: the
+# sincos table is recomputed, the template uv coords load from npy assets
+VAE_EXPECTED_UNMAPPED = ("autoencoder.pos_embedding", "smplx_uvcoord")
+
+
+def apply_key_map(sd: dict, params, key_map, expected_unmapped=(),
+                  verbose=True):
+    """Apply a mapping into a freshly-initialized flax params tree."""
     from flax.traverse_util import flatten_dict, unflatten_dict
 
     flat = {tuple(k.split("/")) if isinstance(k, str) else k: v
             for k, v in flatten_dict(params).items()}
-    key_map = dit_key_map(n_layers)
     hits, misses, mismatches = 0, [], []
     for tname, (fpath, tfm) in key_map.items():
         if tname not in sd:
@@ -106,9 +217,8 @@ def convert_dit(sd: dict, params, n_layers: int, verbose=True):
             continue
         flat[fpath] = w
         hits += 1
-    # source keys the map doesn't know about would otherwise be dropped
-    # silently (e.g. biases from configs the map predates) — always surface
-    unmapped = sorted(k for k in sd if k not in key_map)
+    unmapped = sorted(k for k in sd
+                      if k not in key_map and k not in expected_unmapped)
     if verbose:
         print(f"[convert] {hits} converted, {len(misses)} missing, "
               f"{len(mismatches)} shape mismatches, "
@@ -119,13 +229,31 @@ def convert_dit(sd: dict, params, n_layers: int, verbose=True):
             print("  mismatch:", s)
         for s in unmapped[:40]:
             print("  unmapped (DROPPED):", s)
-    return unflatten_dict(flat)
+    stats = {"hits": hits, "misses": misses, "mismatches": mismatches,
+             "unmapped": unmapped}
+    return unflatten_dict(flat), stats
+
+
+def convert_vae(sd: dict, params, cfg, verbose=True):
+    km = vae_key_map(cfg.encoder_channels, cfg.decoder_channels,
+                     enc_layers=2, dec_layers=3,
+                     self_attention_layers=cfg.self_attention_layers)
+    tree, _ = apply_key_map(sd, params, km, VAE_EXPECTED_UNMAPPED, verbose)
+    return tree
+
+
+def convert_dit(sd: dict, params, n_layers: int, verbose=True):
+    tree, _ = apply_key_map(sd, params, dit_key_map(n_layers),
+                            verbose=verbose)
+    return tree
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True, help="torch safetensors file")
-    ap.add_argument("--preset", default="dit")
+    ap.add_argument("--model", default=None, choices=("dit", "vae"),
+                    help="checkpoint family; inferred from keys if omitted")
+    ap.add_argument("--preset", default=None)
     ap.add_argument("--out", default=None, help="msgpack output path")
     ap.add_argument("--check", action="store_true",
                     help="report mapping coverage only")
@@ -137,17 +265,36 @@ def main():
     import jax.numpy as jnp
 
     from sigman_release_tpu.config import PRESETS
-    from sigman_release_tpu.models.dit import DiTModel
 
     sd = load_file(args.ckpt)
-    cfg = PRESETS[args.preset]
-    model = DiTModel(cfg)
-    latent = jnp.zeros((1, cfg.in_channels, cfg.sample_height,
-                        cfg.sample_width))
-    cond = jnp.zeros((1, cfg.text_embed_dim, 16, 16))
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), latent, cond,
-                                 jnp.zeros((1,), jnp.int32))
-    converted = convert_dit(sd, params, cfg.num_layers)
+    model_kind = args.model
+    if model_kind is None:  # VAE checkpoints lead with 'autoencoder.'
+        model_kind = ("vae" if any(k.startswith("autoencoder.") for k in sd)
+                      else "dit")
+    cfg = PRESETS[args.preset or ("vae_b" if model_kind == "vae" else "dit")]
+
+    if model_kind == "dit":
+        from sigman_release_tpu.models.dit import DiTModel
+
+        model = DiTModel(cfg)
+        latent = jnp.zeros((1, cfg.in_channels, cfg.sample_height,
+                            cfg.sample_width))
+        cond = jnp.zeros((1, cfg.text_embed_dim, 16, 16))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), latent, cond,
+                                     jnp.zeros((1,), jnp.int32))
+        converted = convert_dit(sd, params, cfg.num_layers)
+    else:
+        from sigman_release_tpu.models.vae import VAEModel
+
+        model = VAEModel(cfg)
+        H, V = cfg.input_size, cfg.num_input_views
+        images = jnp.zeros((1, V, 9, H, H))
+        uv = jnp.zeros((1, 3, H, H))
+        key = jax.random.PRNGKey(0)
+        params = jax.jit(model.init)(
+            {"params": key, "sample": key}, images, uv, key
+        )
+        converted = convert_vae(sd, params, cfg)
     if args.check or not args.out:
         return
     from sigman_release_tpu.training.checkpoint import save_checkpoint

@@ -28,6 +28,8 @@ class Config:
     latent_channels: int = 16       # VAE latent channels (16 x 64 x 64 latent)
     vae_out_channels: int = 64      # decoder UV feature channels
     self_attention_layers: int = 6  # bottleneck self-attn depth
+    vae_attention_heads: int = 8    # bottleneck attention (reference: 8 x 64)
+    vae_attention_head_dim: int = 64
     encoder_channels: Tuple[int, ...] = (128, 256, 256, 512)
     decoder_channels: Tuple[int, ...] = (256, 512, 512, 1024)
     bottleneck_dim: int = 512       # UV-query token width
@@ -151,6 +153,7 @@ PRESETS = {
                         self_attention_layers=1, encoder_channels=(8, 16, 16, 32),
                         decoder_channels=(8, 16, 16, 32),
                         bottleneck_dim=32, uv_query_size=8, num_attention_heads=2,
+                        vae_attention_heads=2, vae_attention_head_dim=8,
                         attention_head_dim=16, num_layers=2, sample_height=8,
                         sample_width=8, in_channels=4, out_channels=4,
                         text_embed_dim=32, max_text_seq_length=8, time_embed_dim=32,

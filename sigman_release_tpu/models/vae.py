@@ -42,21 +42,13 @@ def _num_groups(channels: int, cap: int = 32) -> int:
     return math.gcd(cap, channels)
 
 
-class _GN(nn.Module):
-    """GroupNorm with channel-aware group count (small test configs)."""
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(num_groups=_num_groups(x.shape[-1]),
-                            epsilon=1e-6)(x)
-
-
-def _gn():
-    return _GN()
-
-
 class ResnetBlock(nn.Module):
-    """GN -> SiLU -> conv -> GN -> SiLU -> conv with 1x1 shortcut; 2D or 3D."""
+    """GN -> SiLU -> conv -> GN -> SiLU -> conv with 1x1 shortcut; 2D or 3D.
+
+    Submodule names mirror the reference ResnetBlock2D/3D (vae_utils.py:
+    norm1/conv1/norm2/conv2/conv_shortcut) so checkpoint conversion is a
+    mechanical rename.
+    """
 
     out_channels: int
     dims: int = 2
@@ -64,14 +56,17 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = (3,) * self.dims
-        h = _gn()(x)
+        h = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6,
+                         name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, k, padding="SAME")(h)
-        h = _gn()(h)
+        h = nn.Conv(self.out_channels, k, padding="SAME", name="conv1")(h)
+        h = nn.GroupNorm(num_groups=_num_groups(self.out_channels),
+                         epsilon=1e-6, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, k, padding="SAME")(h)
+        h = nn.Conv(self.out_channels, k, padding="SAME", name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1,) * self.dims)(x)
+            x = nn.Conv(self.out_channels, (1,) * self.dims,
+                        name="conv_shortcut")(x)
         return x + h
 
 
@@ -88,7 +83,8 @@ class Downsample2D(nn.Module):
         if squeeze:  # fold views into batch for the 2D conv
             b, v, h, w, c = x.shape
             x = x.reshape(b * v, h, w, c)
-        x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding="VALID")(x)
+        x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                    padding="VALID", name="conv")(x)
         if squeeze:
             x = x.reshape(b, v, x.shape[1], x.shape[2], x.shape[3])
         return x
@@ -102,13 +98,16 @@ class Encoder3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # [B, V, H, W, 9]
-        x = nn.Conv(self.block_channels[0], (3, 3, 3), padding="SAME")(x)
+        x = nn.Conv(self.block_channels[0], (3, 3, 3), padding="SAME",
+                    name="conv_in")(x)
         n = len(self.block_channels)
         for i, ch in enumerate(self.block_channels):
-            for _ in range(self.layers_per_block):
-                x = ResnetBlock(ch, dims=3)(x)
+            for j in range(self.layers_per_block):
+                x = ResnetBlock(ch, dims=3,
+                                name=f"down_blocks_{i}_resnets_{j}")(x)
             if i < n - 1:
-                x = Downsample2D(ch)(x)
+                x = Downsample2D(ch,
+                                 name=f"down_blocks_{i}_downsamplers_0")(x)
         return x  # [B, V, H/8, W/8, C_last]
 
 
@@ -119,11 +118,18 @@ class Upsample2D(nn.Module):
     def __call__(self, x):  # [B, H, W, C]
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.out_channels, (3, 3), padding="SAME")(x)
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                       name="conv")(x)
 
 
 class Decoder2D(nn.Module):
-    """conv_in + 4 UpBlock2D + norm/act/conv_out (64 -> 512 spatial)."""
+    """conv_in + 4 UpBlock2D + norm/act/conv_out (64 -> 512 spatial).
+
+    Each up block holds ``layers_per_block + 1`` resnets — the reference
+    VAE_Decoder2D passes ``num_layers=layers_per_block + 1`` to UpBlock2D
+    (vae_utils.py:1152) with the decoder-default layers_per_block=3, i.e.
+    4 resnets per block.
+    """
 
     out_channels: int
     block_channels: Sequence[int] = (256, 512, 512, 1024)  # forward order
@@ -132,54 +138,72 @@ class Decoder2D(nn.Module):
     @nn.compact
     def __call__(self, z):  # [B, h, w, latent]
         chans = list(reversed(self.block_channels))
-        x = nn.Conv(chans[0], (3, 3), padding="SAME")(z)
+        x = nn.Conv(chans[0], (3, 3), padding="SAME", name="conv_in")(z)
         n = len(chans)
         for i, ch in enumerate(chans):
-            for _ in range(self.layers_per_block):
-                x = ResnetBlock(ch, dims=2)(x)
+            for j in range(self.layers_per_block + 1):
+                x = ResnetBlock(ch, dims=2,
+                                name=f"up_blocks_{i}_resnets_{j}")(x)
             if i < n - 1:
-                x = Upsample2D(ch)(x)
-        x = _gn()(x)
+                x = Upsample2D(ch, name=f"up_blocks_{i}_upsamplers_0")(x)
+        x = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6,
+                         name="norm_out")(x)
         x = nn.silu(x)
-        return nn.Conv(self.out_channels, (3, 3), padding="SAME")(x)
-
-
-def _attention(q, k, v, heads):
-    """Multi-head SDPA over [B, Nq, D] / [B, Nk, D]."""
-    b, nq, d = q.shape
-    dh = d // heads
-
-    def split(t):
-        return t.reshape(b, -1, heads, dh)
-
-    out = jax.nn.dot_product_attention(split(q), split(k), split(v))
-    return out.reshape(b, nq, d)
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                       name="conv_out")(x)
 
 
 class MHA(nn.Module):
-    """Attention with per-head qk layer-norm (diffusers qk_norm='layer_norm')."""
+    """diffusers-``Attention`` parity (the reference bottleneck attention).
 
-    dim: int
+    Structure of Attention(query_dim, heads, dim_head, qk_norm='layer_norm',
+    norm_num_groups=32, ...) as used by VAE_CrossAttention /
+    Conv_Atten_Block (vae_utils.py:1242-1314):
+
+    * GroupNorm(32, query_dim) on the QUERY input before qkv (diffusers
+      applies ``attn.group_norm`` inside the processor),
+    * q/k/v projections to inner = heads * head_dim (512 for the reference's
+      8 x 64 — NOT query_dim 1024), no bias,
+    * per-head LayerNorm on q and k over head_dim (qk_norm='layer_norm'),
+    * optional learned LayerNorm on the cross-attention context
+      (cross_attention_norm='layer_norm', torch-default eps 1e-5),
+    * out projection inner -> query_dim with bias, optional residual add of
+      the RAW input (residual_connection=True saves it before group_norm).
+
+    Submodule names mirror diffusers (to_q/to_k/to_v/to_out/norm_q/norm_k/
+    group_norm/norm_cross) for checkpoint conversion. Attention dropout
+    (reference trains with 0.1) is intentionally omitted.
+    """
+
+    dim: int              # query dim
     heads: int
+    head_dim: int = 64
     context_dim: Optional[int] = None
     norm_context: bool = False
     residual: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
+        inner = self.heads * self.head_dim
         ctx = x if context is None else context
         if self.norm_context and context is not None:
-            ctx = nn.LayerNorm()(ctx)
-        q = nn.Dense(self.dim, use_bias=False)(x)
-        k = nn.Dense(self.dim, use_bias=False)(ctx)
-        v = nn.Dense(self.dim, use_bias=False)(ctx)
-        q = nn.LayerNorm()(q.reshape(*q.shape[:-1], self.heads, -1))
-        k = nn.LayerNorm()(k.reshape(*k.shape[:-1], self.heads, -1))
+            ctx = nn.LayerNorm(epsilon=1e-5, name="norm_cross")(ctx)
+        h = nn.GroupNorm(num_groups=_num_groups(self.dim), epsilon=1e-6,
+                         name="group_norm")(x)
+        q = nn.Dense(inner, use_bias=False, name="to_q")(h)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, name="to_v")(ctx)
+        q = nn.LayerNorm(epsilon=1e-6, name="norm_q")(
+            q.reshape(*q.shape[:-1], self.heads, -1)
+        )
+        k = nn.LayerNorm(epsilon=1e-6, name="norm_k")(
+            k.reshape(*k.shape[:-1], self.heads, -1)
+        )
         out = jax.nn.dot_product_attention(
             q, k, v.reshape(*v.shape[:-1], self.heads, -1)
         )
-        out = out.reshape(*x.shape[:-1], self.dim)
-        out = nn.Dense(self.dim)(out)
+        out = out.reshape(*x.shape[:-1], inner)
+        out = nn.Dense(self.dim, name="to_out")(out)
         if self.residual:
             out = out + x
         return out
@@ -196,16 +220,20 @@ class ConvAttenBlock(nn.Module):
     width: int
     dim: int
     heads: int
+    head_dim: int = 64
 
     @nn.compact
     def __call__(self, x):  # [B, H*W, D]
         b = x.shape[0]
         grid = x.reshape(b, self.height, self.width, self.dim)
-        conv_out = nn.Conv(self.dim, (3, 3), padding="SAME")(grid)
+        conv_out = nn.Conv(self.dim, (3, 3), padding="SAME",
+                           name="conv")(grid)
         conv_out = conv_out.reshape(b, -1, self.dim)
-        attn_out = MHA(dim=self.dim, heads=self.heads)(x)
+        attn_out = MHA(dim=self.dim, heads=self.heads,
+                       head_dim=self.head_dim, name="attn")(x)
         out = conv_out + attn_out
-        out = nn.GroupNorm(num_groups=_num_groups(self.dim), epsilon=1e-6)(out)
+        out = nn.GroupNorm(num_groups=_num_groups(self.dim), epsilon=1e-6,
+                           name="norm")(out)
         out = nn.silu(out)
         return x + out
 
@@ -252,24 +280,34 @@ class ConvVAE(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.encoder = Encoder3D(block_channels=c.encoder_channels)
+        self.encoder = Encoder3D(block_channels=c.encoder_channels,
+                                 name="encoder")
         d = c.encoder_channels[-1]
         self.h = self.w = c.uv_query_size
         self.uv_latent = self.param(
             "uv_latent", nn.initializers.normal(1.0), (1, self.h * self.w, d)
         )
-        self.uv_conv = nn.Conv(d, (8, 8), strides=(8, 8), padding="VALID")
-        self.uv_norm = nn.GroupNorm(num_groups=_num_groups(d), epsilon=1e-6)
+        # torch: uv_encoding = Sequential(Conv2d(3,d,8,8), GroupNorm, SiLU)
+        self.uv_conv = nn.Conv(d, (8, 8), strides=(8, 8), padding="VALID",
+                               name="uv_encoding_0")
+        self.uv_norm = nn.GroupNorm(num_groups=_num_groups(d), epsilon=1e-6,
+                                    name="uv_encoding_1")
         self.pos_embedding = jnp.asarray(sincos_table(self.h * self.w, d * 2))
-        self.cross_attn = MHA(dim=2 * d, heads=8, context_dim=d,
-                              norm_context=True, residual=True)
+        heads = c.vae_attention_heads
+        hd = c.vae_attention_head_dim
+        self.cross_attn = MHA(dim=2 * d, heads=heads, head_dim=hd,
+                              context_dim=d, norm_context=True, residual=True,
+                              name="attention_cross_attn")
         self.middle = [
-            ConvAttenBlock(height=self.h, width=self.w, dim=2 * d, heads=8)
-            for _ in range(c.self_attention_layers)
+            ConvAttenBlock(height=self.h, width=self.w, dim=2 * d,
+                           heads=heads, head_dim=hd,
+                           name=f"attention_middle_layers_{i}")
+            for i in range(c.self_attention_layers)
         ]
-        self.projection = nn.Dense(2 * c.latent_channels)
+        self.projection = nn.Dense(2 * c.latent_channels, name="projection")
         self.decoder = Decoder2D(out_channels=c.vae_out_channels,
-                                 block_channels=c.decoder_channels)
+                                 block_channels=c.decoder_channels,
+                                 name="decoder")
 
     def encode(self, x, initial_uv) -> DiagonalGaussian:
         """x [B,V,H,W,9]; initial_uv [B,H,W,3] -> posterior over [B,h,w,Cl]."""
@@ -277,9 +315,14 @@ class ConvVAE(nn.Module):
         b = h.shape[0]
         d = h.shape[-1]
         tokens = h.reshape(b, -1, d)
-        # context projection for cross attention needs the key dim = 2d?
         uv = self.uv_conv(initial_uv)
-        uv = nn.silu(self.uv_norm(uv)).reshape(b, -1, d)
+        uv = nn.silu(self.uv_norm(uv))                    # [B,h,w,D]
+        # reference quirk (autoencoder.py:159): the uv tokens come from a
+        # CHANNEL-MAJOR flatten — ``view(bs, -1, d)`` on the contiguous
+        # NCHW conv output, NOT a per-pixel permute. Token t's features are
+        # 512 consecutive scalars of the (c, h, w)-flat buffer. Replicated
+        # bit-exactly so converted checkpoints see the layout they trained on.
+        uv = jnp.moveaxis(uv, -1, 1).reshape(b, -1, d)
         query = jnp.concatenate(
             [jnp.broadcast_to(self.uv_latent, (b,) + self.uv_latent.shape[1:]),
              uv], axis=-1,
@@ -314,12 +357,10 @@ class GaussianHeads(nn.Module):
     @nn.compact
     def __call__(self, feats):  # [B,H,W,C]
         half = feats.shape[-1] // 2
-        geo = nn.Conv(10, (3, 3), padding="SAME", name="decode_geo")(
-            feats[..., :half]
-        )
-        rgb = nn.Conv(3, (3, 3), padding="SAME", name="decode_rgb")(
-            feats[..., half:]
-        )
+        geo = nn.Conv(10, (3, 3), padding="SAME",
+                      name="decode_gaussian_geo")(feats[..., :half])
+        rgb = nn.Conv(3, (3, 3), padding="SAME",
+                      name="decode_gaussian_rgb")(feats[..., half:])
         opacity = jax.nn.sigmoid(geo[..., 0:1])
         offset = geo[..., 1:4]
         scale = jax.nn.sigmoid(geo[..., 4:7])
