@@ -23,6 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1,2,4,8")
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +81,19 @@ def main():
         base = results[1]["rays_per_s_per_chip"]
         for nn, r in results.items():
             r["efficiency"] = r["rays_per_s_per_chip"] / base
-    print(json.dumps(results))
+    payload = {
+        "backend": jax.devices()[0].platform,
+        "device_count": jax.device_count(),
+        "host_cores": os.cpu_count(),
+        "note": ("virtual-device CPU run: efficiency numbers measure the "
+                 "sharded-program + collective overhead shape, not chip "
+                 "throughput (threads time-share cores past mesh > cores)"),
+        "results": results,
+    }
+    print(json.dumps(payload))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

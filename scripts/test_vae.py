@@ -14,7 +14,6 @@ import numpy as np
 
 from sigman_release_tpu.config import parse_cli
 from sigman_release_tpu.data import DataLoader, HGSDataset, SyntheticAvatarDataset
-from sigman_release_tpu.losses.metrics import psnr, ssim
 from sigman_release_tpu.training.vae_trainer import VAETrainer
 
 
@@ -36,23 +35,20 @@ def main():
     from sigman_release_tpu.parallel.mesh import shard_batch
     from sigman_release_tpu.utils.visualize import save_visualization
 
-    psnrs, ssims = [], []
+    sums = {}
     for i, batch in enumerate(loader):
         sharded = shard_batch(batch, trainer.mesh)
-        metrics, outputs = trainer.eval_step(state, sharded, key)
-        psnrs.append(float(metrics["psnr"]))
-        pred = np.asarray(outputs["images_pred"])
-        gt = np.asarray(outputs["images_gt"])
-        ssims.append(float(ssim(
-            jax.numpy.asarray(pred.reshape(-1, *pred.shape[2:])),
-            jax.numpy.asarray(gt.reshape(-1, *gt.shape[2:])),
-        )))
+        metrics, outputs = trainer.eval_step(state, sharded, lpips_params,
+                                             key)
+        for k, v in metrics.items():
+            sums.setdefault(k, []).append(float(v))
         if i < 4:
             save_visualization(
                 outputs, os.path.join(cfg.workspace, f"eval_vis_{i:02d}.png")
             )
-    print(f"PSNR {np.mean(psnrs):.3f}  SSIM {np.mean(ssims):.4f} "
-          f"({len(psnrs)} batches)")
+    n = len(next(iter(sums.values()), []))
+    print("  ".join(f"{k} {np.mean(v):.4f}" for k, v in sums.items())
+          + f"  ({n} batches)")
 
 
 if __name__ == "__main__":

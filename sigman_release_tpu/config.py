@@ -119,9 +119,12 @@ class Config:
     gender: str = "neutral"
 
     # ---- parallelism ---------------------------------------------------------
-    mesh_shape: Tuple[int, ...] = (-1,)        # -1: all devices on the axis
+    # mesh (-1: all devices on the axis). A second 'view' axis shards the
+    # RENDER VIEWS (rays/tiles) across chips — Gaussians replicated, each
+    # shard rasterizes its views, grads pmean over both axes; e.g.
+    # mesh_shape=(-1, 2), mesh_axes=("data", "view").
+    mesh_shape: Tuple[int, ...] = (-1,)
     mesh_axes: Tuple[str, ...] = ("data",)
-    shard_gaussians: bool = False              # shard splat tiles across chips
 
     @property
     def hidden_dim(self) -> int:

@@ -68,9 +68,11 @@ def _resize(img: np.ndarray, size: int) -> np.ndarray:
 
 class HGSDataset:
     def __init__(self, cfg: Config, items: Optional[Sequence[str]] = None,
-                 training: bool = True, seed: int = 0):
+                 training: bool = True, seed: int = 0,
+                 decode_threads: int = 4):
         self.cfg = cfg
         self.training = training
+        self.decode_threads = decode_threads
         self.rng = np.random.default_rng(seed)
         if items is None:
             items = [str(p) for p in np.load(cfg.train_list, allow_pickle=True)]
@@ -93,7 +95,7 @@ class HGSDataset:
         return list(EVAL_VIEWS)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        import cv2
+        from sigman_release_tpu.data.native_loader import decode_batch
 
         cfg = self.cfg
         uid = self.items[idx]
@@ -112,41 +114,41 @@ class HGSDataset:
         except (FileNotFoundError, KeyError):
             smpl_params = np.zeros(179, np.float32)
 
-        images, masks, w2cs = [], [], []
-        for vid in self._view_ids():
+        vids = self._view_ids()[: cfg.num_views]
+        # the per-view jpeg/png decode is THE input-pipeline hot path
+        # (SURVEY.md §7 hard part 6): route it through the native threaded
+        # decoder (native/loader.cpp — decode + bilinear resize off-GIL,
+        # transparent cv2 fallback), one batched call per item. Decode at
+        # the largest consumed resolution; _pack's resizes become no-ops
+        # or cheap downsamples from there. Failed files come back as zero
+        # frames — the reference dataloader's try/except fallback.
+        S = max(cfg.input_size, cfg.output_size)
+        rgb = decode_batch(
+            [os.path.join(uid, "rgb_map", f"{v:04d}.jpg") for v in vids],
+            S, S, 3, n_threads=self.decode_threads,
+        )                                              # [V,S,S,3]
+        mk = decode_batch(
+            [os.path.join(uid, "mask_map", f"{v:04d}.png") for v in vids],
+            S, S, 1, n_threads=self.decode_threads,
+        )
+        images = rgb.transpose(0, 3, 1, 2)             # [V,3,S,S]
+        masks = mk[..., 0]
+        w2cs = []
+        for vid in vids:
             try:
-                img = cv2.imread(os.path.join(uid, "rgb_map", f"{vid:04d}.jpg"),
-                                 cv2.IMREAD_UNCHANGED)
-                m = cv2.imread(os.path.join(uid, "mask_map", f"{vid:04d}.png"),
-                               cv2.IMREAD_UNCHANGED)
-                img = img.astype(np.float32) / 255.0
-                img = img[..., [2, 1, 0]]              # BGR -> RGB
-                m = m.astype(np.float32) / 255.0
-                if m.ndim == 3:
-                    m = m[..., 0]
                 pose = cam_json[f"{vid:04d}"]
                 w2c = np.eye(4, dtype=np.float32)
                 w2c[:3, :3] = np.asarray(pose["R"], np.float32)
                 w2c[:3, 3] = np.asarray(pose["T"], np.float32)
             except Exception:
-                img = np.zeros((1024, 1024, 3), np.float32)
-                m = np.zeros((1024, 1024), np.float32)
                 w2c = np.eye(4, dtype=np.float32)
-            images.append(img.transpose(2, 0, 1))
-            masks.append(m)
             w2cs.append(w2c)
-            if len(images) == cfg.num_views:
-                break
-        images = np.stack(images)                      # [V,3,1024,1024]
-        masks = np.stack(masks)
         w2cs = np.stack(w2cs)
 
-        try:
-            uv = cv2.imread(os.path.join(uid, "UV", "smplxuv_albedo.png"),
-                            cv2.IMREAD_UNCHANGED).astype(np.float32) / 255.0
-            uv = uv[..., [2, 1, 0]].transpose(2, 0, 1)
-        except Exception:
-            uv = np.zeros((3, 1024, 1024), np.float32)
+        uv = decode_batch(
+            [os.path.join(uid, "UV", "smplxuv_albedo.png")],
+            cfg.input_size, cfg.input_size, 3, n_threads=1,
+        )[0].transpose(2, 0, 1)
 
         return self._pack(images, masks, w2cs, uv, smpl_params, uid)
 

@@ -68,13 +68,23 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        # honor num_workers (the reference leans on torch DataLoader worker
+        # processes): items of a batch are fetched concurrently by a thread
+        # pool — item decode is native/cv2/numpy and releases the GIL
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def fetch(i):
+            return self.dataset[int(i)]
 
         def producer():
             try:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    q.put(_collate([self.dataset[int(i)] for i in idxs]))
+                    items = list(pool.map(fetch, idxs))
+                    q.put(_collate(items))
             finally:
                 q.put(None)
 
@@ -88,3 +98,4 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+            pool.shutdown(wait=False)

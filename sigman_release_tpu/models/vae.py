@@ -199,8 +199,10 @@ class MHA(nn.Module):
         k = nn.LayerNorm(epsilon=1e-6, name="norm_k")(
             k.reshape(*k.shape[:-1], self.heads, -1)
         )
+        v = v.reshape(*v.shape[:-1], self.heads, -1)
+        # LayerNorm promotes to f32; TPU SDPA wants uniform q/k/v dtypes
         out = jax.nn.dot_product_attention(
-            q, k, v.reshape(*v.shape[:-1], self.heads, -1)
+            q.astype(v.dtype), k.astype(v.dtype), v
         )
         out = out.reshape(*x.shape[:-1], inner)
         out = nn.Dense(self.dim, name="to_out")(out)

@@ -58,17 +58,38 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# batch keys whose second dim is the RENDER-VIEW axis — shardable over a
+# 'view' mesh axis (rays/tiles across chips, the BASELINE north star: each
+# shard rasterizes its views of every sample against replicated Gaussians;
+# photometric losses decompose over views, so grads pmean over both axes)
+VIEW_SHARDED_KEYS = (
+    "cam_view", "cam_view_proj", "cam_pos", "images_output", "masks_output",
+)
+
+
+def batch_spec(key: str, mesh: Mesh, axis: str = "data") -> P:
+    """PartitionSpec for one batch entry under this mesh topology."""
+    if "view" in mesh.axis_names and key in VIEW_SHARDED_KEYS:
+        return P(axis, "view")
+    return P(axis)
+
+
+def batch_specs(batch, mesh: Mesh, axis: str = "data"):
+    """Per-key PartitionSpec dict matching the batch pytree."""
+    return {k: batch_spec(k, mesh, axis) for k in batch}
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """device_put a host batch (dict pytree) with the batch dim sharded.
+    """device_put a host batch (dict pytree), batch dim sharded over ``axis``
+    and (when the mesh has a 'view' axis) render views over 'view'.
 
     Non-array entries (e.g. item ids) are dropped.
     """
-    sh = batch_sharding(mesh, axis)
-
-    def put(x):
+    def put(k, x):
+        sh = NamedSharding(mesh, batch_spec(k, mesh, axis))
         return jax.device_put(np.asarray(x), sh)
 
     return {
-        k: put(v) for k, v in batch.items()
+        k: put(k, v) for k, v in batch.items()
         if isinstance(v, (np.ndarray, jax.Array))
     }

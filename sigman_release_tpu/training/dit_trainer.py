@@ -41,9 +41,16 @@ class DiTTrainState(NamedTuple):
 
 class DiTTrainer:
     def __init__(self, cfg: Config, vae_params=None, encoder_params=None,
-                 mesh=None, spmd: Optional[str] = None):
+                 mesh=None, spmd: Optional[str] = None,
+                 latent_renderer=None):
+        """``latent_renderer``: optional ``(z [B,h,w,Cl], batch) -> outputs``
+        decode+deform+render callable (VAETrainer.render_latent bound to the
+        frozen VAE params). When set, the periodic eval also runs the full
+        CFG sampling pipeline on held-out conditioning images and renders
+        the generated avatar next to GT (reference train_DiT.py:417-457)."""
         self.cfg = cfg
         self.spmd = spmd or "shard_map"
+        self.latent_renderer = latent_renderer
         self.model = DiTModel(cfg)
         self.vae = VAEModel(cfg)
         self.vae_params = vae_params            # frozen
@@ -204,11 +211,14 @@ class DiTTrainer:
     def fit(self, train_loader, state: DiTTrainState,
             num_steps: Optional[int] = None, log_every: int = 10,
             ckpt_path: Optional[str] = None, logger=None,
-            eval_loader=None, eval_every: Optional[int] = None):
+            eval_loader=None, eval_every: Optional[int] = None,
+            profile_dir: Optional[str] = None, profile_every: int = 500):
+        from sigman_release_tpu.utils.profiling import StepTimer, trace_if
+
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed + 7 + jax.process_index())
         step = int(state.step)
-        t0 = time.time()
+        timer = StepTimer()
         done = False
         while not done:
             for batch in train_loader:
@@ -217,33 +227,48 @@ class DiTTrainer:
                     break
                 key, sub = jax.random.split(key)
                 sharded = shard_batch(batch, self.mesh)
-                state, logs = self.train_step(state, sharded, sub)
+                with trace_if(profile_dir, step, every=profile_every,
+                              enabled=profile_dir is not None):
+                    state, logs = self.train_step(state, sharded, sub)
+                    if profile_dir and step % profile_every == 0 and step:
+                        jax.block_until_ready(state.params)
+                timer.tick()
                 step += 1
                 if step % log_every == 0 and jax.process_index() == 0:
-                    dt = (time.time() - t0) / log_every
-                    t0 = time.time()
+                    summ = timer.summary()
+                    dt = summ.get("step_time_mean_s", 0.0)
                     print(f"[dit] step {step} "
                           f"loss {float(logs['loss']):.4f} ({dt:.2f}s/step)", flush=True)
                     if logger is not None:
                         logger.log(step, {"loss": float(logs["loss"]),
-                                          "sec_per_step": dt})
+                                          **summ})
                 if ckpt_path and step % cfg.save_ckpt_steps == 0:
                     save_checkpoint(ckpt_path, state)
                 if (eval_loader is not None and eval_every
                         and step % eval_every == 0):
-                    losses = []
+                    losses, first_eb = [], None
                     for i, eb in enumerate(eval_loader):
                         if i >= 4:
                             break
+                        if first_eb is None:
+                            first_eb = eb
                         losses.append(float(self.eval_loss(
                             state, shard_batch(eb, self.mesh), key
                         )))
-                    if losses and jax.process_index() == 0:
-                        ev = float(np.mean(losses))
-                        print(f"[dit] eval @ {step}: v-loss {ev:.4f}",
-                              flush=True)
+                    ev_logs = {}
+                    if losses:
+                        ev_logs["eval_loss"] = float(np.mean(losses))
+                    if self.latent_renderer is not None and first_eb is not None:
+                        ev_logs.update(self.sample_eval(
+                            state, first_eb, key,
+                            vis_path=(f"{cfg.workspace}/dit_sample_"
+                                      f"{step:07d}.png"
+                                      if jax.process_index() == 0 else None),
+                        ))
+                    if ev_logs and jax.process_index() == 0:
+                        print(f"[dit] eval @ {step}: {ev_logs}", flush=True)
                         if logger is not None:
-                            logger.log(step, {"eval_loss": ev})
+                            logger.log(step, ev_logs)
             if num_steps is None:
                 done = True
         if ckpt_path:
@@ -254,6 +279,31 @@ class DiTTrainer:
         return tolerant_restore(state, load_checkpoint(path))
 
     # -------------------------------------------------------------- sampling
+
+    def sample_eval(self, state: DiTTrainState, batch, key: jax.Array,
+                    vis_path: Optional[str] = None) -> Dict[str, float]:
+        """Generate avatars from held-out conditioning images and render them
+        against GT: image -> CFG DDIM sampling -> frozen-VAE decode ->
+        deform -> rasterize -> PSNR + optional GT|sample grid (the reference's
+        periodic SamplesPipeline eval, train_DiT.py:417-457,470-544)."""
+        from sigman_release_tpu.losses.metrics import psnr
+
+        cfg = self.cfg
+        latents = self.sample(state, jnp.asarray(batch["sapiens_input"]), key)
+        z = jnp.moveaxis(latents / cfg.vae_scaling_factor, 1, -1)
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                  if hasattr(v, "dtype") and np.issubdtype(
+                      np.asarray(v).dtype, np.number)}
+        outputs = self.latent_renderer(z, arrays)
+        logs = {
+            "sample_psnr": float(psnr(outputs["images_pred"],
+                                      outputs["images_gt"])),
+        }
+        if vis_path is not None:
+            from sigman_release_tpu.utils.visualize import save_visualization
+
+            save_visualization(jax.tree.map(np.asarray, outputs), vis_path)
+        return logs
 
     def sample(self, state: DiTTrainState, cond_images: jnp.ndarray,
                key: jax.Array, num_inference_steps: Optional[int] = None):

@@ -43,7 +43,7 @@ from sigman_release_tpu.config import Config
 from sigman_release_tpu.losses.combined import VAELoss
 from sigman_release_tpu.losses.gan import PatchDiscriminator
 from sigman_release_tpu.losses.lpips import LPIPS, load_lpips_params
-from sigman_release_tpu.losses.metrics import psnr
+from sigman_release_tpu.losses.metrics import masked_psnr, psnr, ssim
 from sigman_release_tpu.models.vae import VAEModel, compose_rotations, sample_gaussian_attrs
 from sigman_release_tpu.parallel.mesh import make_mesh, shard_batch
 from sigman_release_tpu.renderer import GaussianRenderer
@@ -188,23 +188,12 @@ class VAETrainer:
             params,
         )
 
-    def forward(self, params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
-                sample_posterior: bool = True):
-        """Full differentiable forward: images -> rendered views."""
-        cfg = self.cfg
+    def _render_attrs(self, attr_map: jnp.ndarray,
+                      batch: Dict[str, jnp.ndarray]):
+        """UV attribute map -> grid-sample -> deform -> rasterize
+        (autoencoder.py:284-345 bottom half; shared by the encode+decode
+        forward and the decode-only latent path)."""
         t = self.template
-        dtype = (jnp.bfloat16 if cfg.mixed_precision == "bf16"
-                 else jnp.float32)
-        attr_map, posterior = self.model.apply(
-            self._cast_params(params),
-            batch["input"].astype(dtype), batch["UV_inital"].astype(dtype),
-            rng, sample_posterior,
-        )
-        attr_map = attr_map.astype(jnp.float32)
-        posterior = type(posterior)(
-            posterior.mean.astype(jnp.float32),
-            posterior.logvar.astype(jnp.float32),
-        )
         attrs = sample_gaussian_attrs(attr_map, t.init_uv)
         canon = t.init_pcd[None] + attrs["offset"]
 
@@ -223,7 +212,7 @@ class VAETrainer:
         render = self.renderer.render(
             gaussians, batch["cam_view"], batch["cam_view_proj"]
         )
-        outputs = {
+        return {
             "images_pred": render["image"],
             "alphas_pred": render["alpha"],
             "images_gt": batch["images_output"],
@@ -233,7 +222,35 @@ class VAETrainer:
             # during training is visible (binning.py overflow contract)
             "overflow": render["overflow"],
         }
-        return outputs, posterior
+
+    def forward(self, params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
+                sample_posterior: bool = True):
+        """Full differentiable forward: images -> rendered views."""
+        cfg = self.cfg
+        dtype = (jnp.bfloat16 if cfg.mixed_precision == "bf16"
+                 else jnp.float32)
+        attr_map, posterior = self.model.apply(
+            self._cast_params(params),
+            batch["input"].astype(dtype), batch["UV_inital"].astype(dtype),
+            rng, sample_posterior,
+        )
+        attr_map = attr_map.astype(jnp.float32)
+        posterior = type(posterior)(
+            posterior.mean.astype(jnp.float32),
+            posterior.logvar.astype(jnp.float32),
+        )
+        return self._render_attrs(attr_map, batch), posterior
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def render_latent(self, params, z: jnp.ndarray,
+                      batch: Dict[str, jnp.ndarray]):
+        """Decode-only path: latent [B,h,w,Cl] -> decode -> deform -> render
+        (the reference's VAE.decode_uv, autoencoder.py:372-453 — used by the
+        DiT sampling pipeline and its in-training eval)."""
+        attr_map = self.model.apply(
+            self._cast_params(params), z, method=VAEModel.decode
+        ).astype(jnp.float32)
+        return self._render_attrs(attr_map, batch)
 
     # ------------------------------------------------------------ train steps
     #
@@ -243,21 +260,31 @@ class VAETrainer:
     # explicit pmean over the data axis (rides ICI; XLA overlaps it with
     # backward), and Pallas kernels run per-device, the canonical pattern.
 
-    def _shard_specs(self):
-        from jax.sharding import PartitionSpec as P
+    def _axes(self):
+        """All mesh axes: ('data',) for pure DP, ('data', 'view') when render
+        views are sharded across chips too (rays/tiles across the mesh —
+        Gaussians replicated, each shard rasterizes its views; losses
+        decompose over views so grads/logs pmean over every axis)."""
+        return tuple(self.mesh.axis_names)
 
-        return P(), P(self.cfg.mesh_axes[0]), P()
+    def _fold_rng(self, rng):
+        for ax in self._axes():
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+        return rng
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def train_step_g(self, state: TrainState, batch, lpips_params,
                      rng: jax.Array):
-        axis = self.cfg.mesh_axes[0]
-        rep, data, _ = self._shard_specs()
+        from jax.sharding import PartitionSpec as P
+
+        from sigman_release_tpu.parallel.mesh import batch_specs
+
+        axes = self._axes()
         use_axis = self.spmd == "shard_map"
 
         def local_step(state, batch, lpips_params, rng):
             if use_axis:
-                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+                rng = self._fold_rng(rng)
 
             def loss_fn(diff):
                 params, logvar = diff
@@ -278,8 +305,8 @@ class VAETrainer:
                 (state.params, state.logvar)
             )
             if use_axis:
-                grads = jax.lax.pmean(grads, axis)
-                logs = jax.lax.pmean(logs, axis)
+                grads = jax.lax.pmean(grads, axes)
+                logs = jax.lax.pmean(logs, axes)
             updates, opt_state_g = self.tx_g.update(
                 grads, state.opt_state_g, (state.params, state.logvar)
             )
@@ -295,20 +322,24 @@ class VAETrainer:
             return local_step(state, batch, lpips_params, rng)
         fn = jax.shard_map(
             local_step, mesh=self.mesh,
-            in_specs=(rep, data, rep, rep), out_specs=(rep, rep),
+            in_specs=(P(), batch_specs(batch, self.mesh), P(), P()),
+            out_specs=(P(), P()),
             check_vma=False,
         )
         return fn(state, batch, lpips_params, rng)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def train_step_d(self, state: TrainState, batch, rng: jax.Array):
-        axis = self.cfg.mesh_axes[0]
-        rep, data, _ = self._shard_specs()
+        from jax.sharding import PartitionSpec as P
+
+        from sigman_release_tpu.parallel.mesh import batch_specs
+
+        axes = self._axes()
         use_axis = self.spmd == "shard_map"
 
         def local_step(state, batch, rng):
             if use_axis:
-                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+                rng = self._fold_rng(rng)
             outputs, _ = self.forward(state.params, batch, rng)
             outputs = jax.lax.stop_gradient(outputs)
 
@@ -318,8 +349,8 @@ class VAETrainer:
 
             grads, logs = jax.grad(loss_fn, has_aux=True)(state.disc_params)
             if use_axis:
-                grads = jax.lax.pmean(grads, axis)
-                logs = jax.lax.pmean(logs, axis)
+                grads = jax.lax.pmean(grads, axes)
+                logs = jax.lax.pmean(logs, axes)
             updates, opt_state_d = self.tx_d.update(
                 grads, state.opt_state_d, state.disc_params
             )
@@ -333,49 +364,113 @@ class VAETrainer:
             return local_step(state, batch, rng)
         fn = jax.shard_map(
             local_step, mesh=self.mesh,
-            in_specs=(rep, data, rep), out_specs=(rep, rep),
+            in_specs=(P(), batch_specs(batch, self.mesh), P()),
+            out_specs=(P(), P()),
             check_vma=False,
         )
         return fn(state, batch, rng)
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def eval_step(self, state: TrainState, batch, rng: jax.Array):
-        outputs, posterior = self.forward(state.params, batch, rng,
-                                          sample_posterior=False)
-        return {
-            "psnr": psnr(outputs["images_pred"], outputs["images_gt"]),
-        }, outputs
+    def eval_step(self, state: TrainState, batch, lpips_params,
+                  rng: jax.Array):
+        """Posterior-mode eval with the reference's full metric set
+        (PSNR + masked PSNR + SSIM + LPIPS, core/loss/eval.py:67-84;
+        LPIPS here is the VGG variant — the alex eval net has no in-env
+        weights). Metrics are pmean'd over the data axis so every host
+        logs the identical cross-host value (reference:
+        accelerator.gather_for_metrics, train_vae.py:256-257)."""
+        from jax.sharding import PartitionSpec as P
+
+        from sigman_release_tpu.parallel.mesh import batch_spec, batch_specs
+
+        axes = self._axes()
+        use_axis = self.spmd == "shard_map"
+
+        def local_step(state, batch, lpips_params, rng):
+            outputs, _ = self.forward(state.params, batch, rng,
+                                      sample_posterior=False)
+            outputs.pop("overflow")
+            pred, gt = outputs["images_pred"], outputs["images_gt"]
+            mask = outputs["masks_gt"]
+            flat_p = pred.reshape(-1, *pred.shape[2:])
+            flat_g = gt.reshape(-1, *gt.shape[2:])
+            # reduce LINEAR statistics across shards, THEN apply the
+            # nonlinear metric transforms — per-shard PSNR averaged over
+            # shards is not the PSNR of all views (log of mean != mean of
+            # log); ssim/lpips are plain means and commute with pmean
+            mse = jnp.mean((pred - gt) ** 2)
+            masked_mse = jnp.mean((pred * mask - gt * mask) ** 2)
+            masked_max = jnp.max(pred * mask)
+            ssim_v = ssim(flat_p, flat_g)
+            lpips_v = jnp.mean(self.lpips.apply(
+                lpips_params, flat_p * 2.0 - 1.0, flat_g * 2.0 - 1.0
+            ))
+            if use_axis:
+                mse, masked_mse, ssim_v, lpips_v = jax.lax.pmean(
+                    (mse, masked_mse, ssim_v, lpips_v), axes
+                )
+                masked_max = jax.lax.pmax(masked_max, axes)
+            metrics = {
+                "psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
+                "masked_psnr": 10.0 * jnp.log10(
+                    jnp.maximum(masked_max ** 2, 1e-12)
+                    / jnp.maximum(masked_mse, 1e-12)
+                ),
+                "ssim": ssim_v,
+                "lpips": lpips_v,
+            }
+            return metrics, outputs
+
+        if not use_axis:
+            return local_step(state, batch, lpips_params, rng)
+        out_view = batch_spec("images_output", self.mesh)  # [B,V,...] keys
+        fn = jax.shard_map(
+            local_step, mesh=self.mesh,
+            in_specs=(P(), batch_specs(batch, self.mesh), P(), P()),
+            out_specs=(P(), {"images_pred": out_view, "alphas_pred": out_view,
+                             "images_gt": out_view, "masks_gt": out_view}),
+            check_vma=False,
+        )
+        return fn(state, batch, lpips_params, rng)
 
     # ------------------------------------------------------------------ fit
 
-    def evaluate(self, state: TrainState, eval_loader, key,
+    def evaluate(self, state: TrainState, eval_loader, key, lpips_params,
                  max_batches: int = 8, vis_path: Optional[str] = None):
-        """PSNR over eval batches + optional GT|pred visualization dump
-        (reference: per-10-epoch eval, train_vae.py:277-333)."""
-        psnrs = []
+        """Full-metric eval over batches + optional GT|pred visualization
+        dump (reference: per-10-epoch eval, train_vae.py:277-333)."""
+        sums: Dict[str, list] = {}
         first_outputs = None
         for i, batch in enumerate(eval_loader):
             if i >= max_batches:
                 break
             sharded = shard_batch(batch, self.mesh)
-            metrics, outputs = self.eval_step(state, sharded, key)
-            psnrs.append(float(metrics["psnr"]))
+            metrics, outputs = self.eval_step(state, sharded, lpips_params,
+                                              key)
+            for k, v in metrics.items():
+                sums.setdefault(k, []).append(float(v))
             if first_outputs is None:
                 first_outputs = jax.tree.map(np.asarray, outputs)
         if vis_path and first_outputs is not None:
             from sigman_release_tpu.utils.visualize import save_visualization
 
             save_visualization(first_outputs, vis_path)
-        return {"eval_psnr": float(np.mean(psnrs)) if psnrs else float("nan")}
+        return {f"eval_{k}": float(np.mean(v)) for k, v in sums.items()}
 
     def fit(self, train_loader, state: TrainState, lpips_params,
             num_steps: Optional[int] = None, log_every: int = 10,
             ckpt_path: Optional[str] = None, logger=None,
-            eval_loader=None, eval_every: Optional[int] = None):
+            eval_loader=None, eval_every: Optional[int] = None,
+            profile_dir: Optional[str] = None, profile_every: int = 500):
+        """``profile_dir``: write a TensorBoard/xprof trace of one step every
+        ``profile_every`` steps (utils/profiling.trace_if); step latency is
+        tracked by StepTimer and its p50/p95 summary lands in the logs."""
+        from sigman_release_tpu.utils.profiling import StepTimer, trace_if
+
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed + jax.process_index())
         step = int(state.step)
-        t0 = time.time()
+        timer = StepTimer()
         done = False
         while not done:
             for batch in train_loader:
@@ -387,27 +482,33 @@ class VAETrainer:
                 use_d = (
                     step >= cfg.disc_start and step % 2 == 1
                 )  # parity alternation (train_vae.py:137-147)
-                if use_d:
-                    state, logs = self.train_step_d(state, sharded, sub)
-                else:
-                    state, logs = self.train_step_g(
-                        state, sharded, lpips_params, sub
-                    )
+                with trace_if(profile_dir, step, every=profile_every,
+                              enabled=profile_dir is not None):
+                    if use_d:
+                        state, logs = self.train_step_d(state, sharded, sub)
+                    else:
+                        state, logs = self.train_step_g(
+                            state, sharded, lpips_params, sub
+                        )
+                    if profile_dir and step % profile_every == 0 and step:
+                        jax.block_until_ready(state.params)
+                timer.tick()
                 step += 1
                 if step % log_every == 0 and jax.process_index() == 0:
                     host_logs = {k: float(v) for k, v in logs.items()}
-                    dt = (time.time() - t0) / log_every
-                    t0 = time.time()
+                    summ = timer.summary()
+                    dt = summ.get("step_time_mean_s", 0.0)
                     print(f"[vae] step {step} {host_logs} ({dt:.2f}s/step)", flush=True)
                     if logger is not None:
-                        logger.log(step, {**host_logs, "sec_per_step": dt})
+                        logger.log(step, {**host_logs, **summ})
                 if ckpt_path and step % cfg.save_ckpt_steps == 0:
                     save_checkpoint(ckpt_path, state)
                 if (eval_loader is not None and eval_every
                         and step % eval_every == 0):
                     vis = (f"{cfg.workspace}/eval_{step:07d}.png"
                            if jax.process_index() == 0 else None)
-                    ev = self.evaluate(state, eval_loader, key, vis_path=vis)
+                    ev = self.evaluate(state, eval_loader, key,
+                                       lpips_params, vis_path=vis)
                     if jax.process_index() == 0:
                         print(f"[vae] eval @ {step}: {ev}", flush=True)
                         if logger is not None:

@@ -88,3 +88,28 @@ def test_cfg_changes_result(setup):
                                          num_inference_steps=2,
                                          guidance_scale=5.0)
     assert np.abs(np.asarray(l1 - l2)).max() > 1e-6
+
+
+def test_dit_sample_eval_renders_and_scores(setup, tmp_path):
+    """In-training sampling eval: CFG pipeline -> frozen-VAE decode ->
+    deform -> render -> PSNR + GT|sample grid (train_DiT.py:417-457)."""
+    from sigman_release_tpu.data import DataLoader, SyntheticAvatarDataset
+    from sigman_release_tpu.training.vae_trainer import VAETrainer
+
+    trainer, state = setup
+    vae_trainer = VAETrainer(CFG, interpret=True,
+                             mesh=make_mesh((1,), ("data",)))
+    vae_params = trainer.vae_params
+    trainer.latent_renderer = (
+        lambda z, batch: vae_trainer.render_latent(vae_params, z, batch)
+    )
+    ds = SyntheticAvatarDataset(CFG, n_items=1)
+    batch = next(iter(DataLoader(ds, batch_size=1, shuffle=False,
+                                 num_workers=1)))
+    vis = str(tmp_path / "dit_sample.png")
+    logs = trainer.sample_eval(state, batch, jax.random.PRNGKey(0),
+                               vis_path=vis)
+    assert np.isfinite(logs["sample_psnr"])
+    import os as _os
+
+    assert _os.path.exists(vis)

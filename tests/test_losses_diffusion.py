@@ -143,3 +143,77 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_allclose(g2[:, 3:4], g[:, 3:4], atol=1e-4)
     np.testing.assert_allclose(g2[:, 4:7], g[:, 4:7], rtol=1e-4)
     np.testing.assert_allclose(g2[:, 11:14], g[:, 11:14], atol=1e-5)
+
+
+def test_lpips_converter_torch_oracle(tmp_path):
+    """End-to-end LPIPS weight conversion: a torchvision-layout VGG16 .pth
+    + richzhang-layout lin .pth convert through load_lpips_params and the
+    flax LPIPS reproduces a plain-torch replica's distances
+    (reference: core/loss/lpips.py:194-243)."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    from sigman_release_tpu.losses.lpips import SCALE, SHIFT, load_lpips_params
+
+    torch.manual_seed(0)
+    # torchvision vgg16.features layout: conv indices 0,2 | 5,7 | 10,12,14 |
+    # 17,19,21 | 24,26,28 with ReLU between and MaxPool at block ends
+    cfg = [(2, 64), (2, 128), (3, 256), (3, 512), (3, 512)]
+    layers, slice_ends = [], []
+    cin = 3
+    for bi, (n, ch) in enumerate(cfg):
+        for _ in range(n):
+            layers += [tnn.Conv2d(cin, ch, 3, padding=1), tnn.ReLU()]
+            cin = ch
+        slice_ends.append(len(layers))
+        if bi < len(cfg) - 1:
+            layers.append(tnn.MaxPool2d(2, 2))
+    features = tnn.Sequential(*layers).eval()
+    # scale weights down: random VGG activations explode through 13 convs
+    with torch.no_grad():
+        for m in features:
+            if isinstance(m, tnn.Conv2d):
+                m.weight *= 0.1
+    vgg_sd = {f"features.{i}.{p}": t for i, m in enumerate(features)
+              for p, t in getattr(m, "state_dict", dict)().items()}
+    vgg_path = str(tmp_path / "vgg16.pth")
+    torch.save(vgg_sd, vgg_path)
+
+    lins = [torch.rand(1, ch, 1, 1) * 0.1 for _, ch in cfg]
+    lin_sd = {f"lin{i}.model.1.weight": w for i, w in enumerate(lins)}
+    lin_path = str(tmp_path / "lins.pth")
+    torch.save(lin_sd, lin_path)
+
+    params = load_lpips_params(vgg_path, lin_path)
+    assert params is not None
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    y = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+
+    # torch replica of the LPIPS computation
+    def t_feats(t):
+        t = (t - torch.as_tensor(SHIFT).view(1, 3, 1, 1)) / \
+            torch.as_tensor(SCALE).view(1, 3, 1, 1)
+        outs, h, prev = [], t, 0
+        for end in slice_ends:
+            for m in layers[prev:end]:
+                h = m(h)
+            outs.append(h)
+            prev = end
+        return outs
+
+    with torch.no_grad():
+        fx = t_feats(torch.as_tensor(x))
+        fy = t_feats(torch.as_tensor(y))
+        total = torch.zeros(2)
+        for fa, fb, w in zip(fx, fy, lins):
+            fa = fa / (fa.square().sum(1, keepdim=True) + 1e-10).sqrt()
+            fb = fb / (fb.square().sum(1, keepdim=True) + 1e-10).sqrt()
+            d = (fa - fb).square()
+            total += (d * w).sum(1).mean((1, 2))
+
+    model = LPIPS()
+    out = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(out, total.numpy(), rtol=2e-4, atol=1e-6)

@@ -47,18 +47,34 @@ def main():
     encoder = ViTFeatureEncoder(embed_dim=cfg.text_embed_dim)
     enc_params = encoder.init(k2, jnp.zeros((1, 3, 256, 256)))
 
-    trainer = DiTTrainer(cfg, vae_params=vae_params, encoder_params=enc_params)
+    # decode+deform+render stack for the in-training sampling eval
+    # (reference train_DiT.py:417-457): the frozen VAE's decode_uv path
+    from sigman_release_tpu.training.vae_trainer import VAETrainer
+
+    vae_trainer = VAETrainer(cfg)
+    latent_renderer = (
+        lambda z, batch: vae_trainer.render_latent(vae_params, z, batch)
+    )
+
+    trainer = DiTTrainer(cfg, vae_params=vae_params, encoder_params=enc_params,
+                         latent_renderer=latent_renderer)
     state = trainer.init_state(k3)
     if cfg.resume:
         state = trainer.resume(state, cfg.resume)
 
     if cfg.synthetic_data:
         dataset = SyntheticAvatarDataset(cfg, n_items=cfg.synthetic_items)
+        eval_dataset = SyntheticAvatarDataset(
+            cfg, n_items=min(4, cfg.synthetic_items), seed=cfg.seed + 999
+        )
     else:
         dataset = HGSDataset(cfg, training=True)
         dataset.items = shard_for_host(dataset.items)
+        eval_dataset = HGSDataset(cfg, training=False)
     loader = DataLoader(dataset, cfg.batch_size, num_workers=cfg.num_workers,
                         seed=cfg.seed)
+    eval_loader = DataLoader(eval_dataset, cfg.batch_size, shuffle=False,
+                             num_workers=cfg.num_workers)
 
     os.makedirs(cfg.workspace, exist_ok=True)
     from sigman_release_tpu.utils.logging import MetricLogger
@@ -71,6 +87,8 @@ def main():
         log_every=cfg.log_every,
         ckpt_path=os.path.join(cfg.workspace, "dit_state.msgpack"),
         logger=logger,
+        eval_loader=eval_loader,
+        eval_every=cfg.eval_steps,
     )
 
 
