@@ -32,16 +32,71 @@ from sigman_release_tpu.training.vae_trainer import VAETrainer
 from sigman_release_tpu.utils.ply import save_ply
 
 
-def load_pose(path: str) -> np.ndarray:
-    """demo/poses npz -> 175-d AMASS-layout vector
-    (/root/reference/scripts/test_DiT.py:121-138)."""
-    d = np.load(path)
-    parts = [d["global_orient"], d["body_pose"], d["left_hand_pose"],
-             d["right_hand_pose"], d["jaw_pose"], d["leye_pose"],
-             d["reye_pose"], d["betas"]]
-    return np.concatenate(
-        [np.asarray(p, np.float32).reshape(1, -1) for p in parts], axis=-1
+# the reference's fixed 20-view evaluation rig
+# (/root/reference/core/dataset/dataloader_test.py:61)
+TEST_VIEW_IDS = [30, 37, 45, 53, 65, 85, 0, 6, 15, 24, 34, 41, 49, 57, 60,
+                 68, 72, 75, 80, 83]
+
+_SMPLX_KEYS = ("transl", "global_orient", "betas", "body_pose", "expression",
+               "left_hand_pose", "right_hand_pose", "jaw_pose", "leye_pose",
+               "reye_pose")
+
+
+def load_pose(path: str, frame: int = 0) -> np.ndarray:
+    """SMPL-X pose npz -> [1, 188] param vector in the reference's
+    (transl, global_orient, betas, body_pose, expression, lhand, rhand,
+    jaw, leye, reye) order. Handles the three reference layouts
+    (/root/reference/scripts/test_DiT.py:100-166):
+
+    * single pose (1-D per-key arrays),
+    * pose sequences (leading time dim per key) — ``frame`` selects one,
+    * AMASS exports (pose_body/pose_hand/... keys; betas ZEROED, matching
+      the reference's load_amass quirk).
+    """
+    d = np.load(path, allow_pickle=True)
+    if "pose_body" in d:  # AMASS layout
+        T = d["pose_body"].shape[0]
+        parts = [d["trans"], d["root_orient"], np.zeros((T, 10)),
+                 d["pose_body"], np.zeros((T, 10)),
+                 d["pose_hand"][:, :45], d["pose_hand"][:, 45:],
+                 d["pose_jaw"], d["pose_eye"][:, :3], d["pose_eye"][:, 3:]]
+        vec = np.concatenate(
+            [np.asarray(p, np.float32).reshape(T, -1) for p in parts], -1
+        )
+        return vec[frame:frame + 1]
+    betas = np.asarray(d["betas"])
+    if betas.ndim == 2:  # sequence layout: pick one frame
+        parts = [np.asarray(d[k], np.float32)[frame].reshape(1, -1)
+                 for k in _SMPLX_KEYS]
+    else:
+        parts = [np.asarray(d[k], np.float32).reshape(1, -1)
+                 for k in _SMPLX_KEYS]
+    return np.concatenate(parts, axis=-1)
+
+
+def load_camera_rig(camera_json: str, view_ids, znear, zfar):
+    """Calibrated rig (K=1100 @1024^2 intrinsics, w2c R/T per view) —
+    the rig the reference evaluates on (scripts/test_DiT.py:276-297)."""
+    import json
+
+    from sigman_release_tpu.geometry.cameras import (
+        intrinsics_projection_matrix,
     )
+
+    cams = json.load(open(camera_json))
+    K = np.array([[1100.0, 0, 512.0], [0, 1100.0, 512.0], [0, 0, 1.0]])
+    proj = intrinsics_projection_matrix(znear, zfar, K, 1024, 1024)
+    w2cs = []
+    for vid in view_ids:
+        pose = cams[f"{vid:04d}"]
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = np.asarray(pose["R"], np.float32)
+        w2c[:3, 3] = np.asarray(pose["T"], np.float32)
+        w2cs.append(w2c)
+    w2cs = np.stack(w2cs)
+    cam_view = np.transpose(w2cs, (0, 2, 1)).astype(np.float32)
+    cam_view_proj = (cam_view @ proj.T).astype(np.float32)
+    return cam_view, cam_view_proj
 
 
 def main():
@@ -55,6 +110,11 @@ def main():
     ap.add_argument("--out_dir", default="./workspace/inference")
     ap.add_argument("--num_views", type=int, default=4)
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--frame", type=int, default=0,
+                    help="frame for sequence/AMASS pose files")
+    ap.add_argument("--camera_json", default=None,
+                    help="90-camera calibration json; renders the fixed "
+                         "20-view test rig instead of a synthetic orbit")
     args = ap.parse_args()
 
     cfg = PRESETS[args.preset]
@@ -105,19 +165,25 @@ def main():
 
     from sigman_release_tpu.body.smplx import parse_param_vector
 
-    smpl_vec = jnp.asarray(load_pose(args.pose_path))
+    smpl_vec = jnp.asarray(load_pose(args.pose_path, frame=args.frame))
     posed = vae_trainer.deformer.prepare(
         vae_trainer.deformer_state, parse_param_vector(smpl_vec)
     )
     defm, tfs = vae_trainer.deformer(vae_trainer.deformer_state, posed, canon)
     R_def = compose_rotations(attrs["rot"], t.init_rot, tfs)
 
-    proj = projection_matrix(cfg.znear, cfg.zfar, cfg.fovx, cfg.fovy)
-    c2ws = np.stack([
-        orbit_camera(10.0, 360.0 * v / args.num_views, cfg.cam_radius)
-        for v in range(args.num_views)
-    ])
-    cv, cvp, _ = camera_bundle(c2ws, proj)
+    if args.camera_json and os.path.exists(args.camera_json):
+        cv, cvp = load_camera_rig(args.camera_json, TEST_VIEW_IDS,
+                                  cfg.znear, cfg.zfar)
+    else:
+        print("[test_DiT] no --camera_json: synthesizing an orbit rig "
+              "(the reference renders the calibrated 20-view rig)")
+        proj = projection_matrix(cfg.znear, cfg.zfar, cfg.fovx, cfg.fovy)
+        c2ws = np.stack([
+            orbit_camera(10.0, 360.0 * v / args.num_views, cfg.cam_radius)
+            for v in range(args.num_views)
+        ])
+        cv, cvp, _ = camera_bundle(c2ws, proj)
 
     gaussians = {
         "position": defm, "opacity": attrs["opacity"],

@@ -58,7 +58,10 @@ class VAELoss:
         loss_l1 = jnp.mean(jnp.abs(pred_f * m_f - gt_f * m_f))
 
         if cfg.lambda_lpips > 0 and self.lpips_apply is not None:
-            lp = self.lpips_apply(
+            # remat: the VGG tower's activations for B*V frames otherwise
+            # stay live through the whole backward (gigabytes at vae_b
+            # scale); recomputing them costs one extra VGG forward
+            lp = jax.checkpoint(self.lpips_apply)(
                 lpips_params,
                 _resize_for_lpips(gt_f, cfg.lpips_size) * 2.0 - 1.0,
                 _resize_for_lpips(pred_f, cfg.lpips_size) * 2.0 - 1.0,
@@ -76,7 +79,8 @@ class VAELoss:
         disc_active = (self.disc_apply is not None
                        and cfg.disc_start < 10 ** 9)
         if disc_active:
-            logits_fake = self.disc_apply(disc_params, pred)
+            # remat the PatchGAN forward for the same reason as LPIPS
+            logits_fake = jax.checkpoint(self.disc_apply)(disc_params, pred)
             g_loss = hinge_g_loss(logits_fake)
         else:
             g_loss = jnp.float32(0.0)

@@ -91,20 +91,27 @@ class Downsample2D(nn.Module):
 
 
 class Encoder3D(nn.Module):
-    """conv_in + 4 DownBlock3D over (B, V, H, W, C)."""
+    """conv_in + 4 DownBlock3D over (B, V, H, W, C).
+
+    ``remat``: rematerialize each resnet in backward — the reference
+    checkpoints its encoder blocks (vae_utils.py:476
+    gradient_checkpointing=True); at 512^2 x 6 views the un-remat'd
+    activations OOM a 16GB chip."""
 
     block_channels: Sequence[int] = (128, 256, 256, 512)
     layers_per_block: int = 2
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x):  # [B, V, H, W, 9]
+        block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         x = nn.Conv(self.block_channels[0], (3, 3, 3), padding="SAME",
                     name="conv_in")(x)
         n = len(self.block_channels)
         for i, ch in enumerate(self.block_channels):
             for j in range(self.layers_per_block):
-                x = ResnetBlock(ch, dims=3,
-                                name=f"down_blocks_{i}_resnets_{j}")(x)
+                x = block(ch, dims=3,
+                          name=f"down_blocks_{i}_resnets_{j}")(x)
             if i < n - 1:
                 x = Downsample2D(ch,
                                  name=f"down_blocks_{i}_downsamplers_0")(x)
@@ -134,16 +141,18 @@ class Decoder2D(nn.Module):
     out_channels: int
     block_channels: Sequence[int] = (256, 512, 512, 1024)  # forward order
     layers_per_block: int = 3
+    remat: bool = True   # decoder resnets at 512^2 x1024ch OOM un-remat'd
 
     @nn.compact
     def __call__(self, z):  # [B, h, w, latent]
+        block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
         chans = list(reversed(self.block_channels))
         x = nn.Conv(chans[0], (3, 3), padding="SAME", name="conv_in")(z)
         n = len(chans)
         for i, ch in enumerate(chans):
             for j in range(self.layers_per_block + 1):
-                x = ResnetBlock(ch, dims=2,
-                                name=f"up_blocks_{i}_resnets_{j}")(x)
+                x = block(ch, dims=2,
+                          name=f"up_blocks_{i}_resnets_{j}")(x)
             if i < n - 1:
                 x = Upsample2D(ch, name=f"up_blocks_{i}_upsamplers_0")(x)
         x = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6,

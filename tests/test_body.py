@@ -1,5 +1,7 @@
 """SMPL-X body model, LBS, deformer, template tests (synthetic model)."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -222,3 +224,49 @@ def test_parents_table_valid():
     assert SMPLX_PARENTS.shape == (55,)
     assert SMPLX_PARENTS[0] == -1
     assert (SMPLX_PARENTS[1:] < np.arange(1, 55)).all()
+
+
+def test_inference_pose_loaders(tmp_path):
+    """scripts/test_DiT.load_pose handles the reference's three pose-file
+    layouts (single / sequence / AMASS, scripts/test_DiT.py:100-166) and
+    yields a [1,188] vector parse_param_vector accepts."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    from test_DiT import load_pose
+
+    from sigman_release_tpu.body.smplx import parse_param_vector
+
+    rng = np.random.default_rng(0)
+    single = {k: rng.normal(0, 0.1, d).astype(np.float32)
+              for k, d in [("transl", 3), ("global_orient", 3), ("betas", 10),
+                           ("body_pose", 63), ("expression", 10),
+                           ("left_hand_pose", 45), ("right_hand_pose", 45),
+                           ("jaw_pose", 3), ("leye_pose", 3),
+                           ("reye_pose", 3)]}
+    np.savez(tmp_path / "single.npz", **single)
+    seq = {k: np.stack([v, v * 0.5]) for k, v in single.items()}
+    np.savez(tmp_path / "seq.npz", **seq)
+    T = 3
+    np.savez(tmp_path / "amass.npz",
+             trans=rng.normal(0, 0.1, (T, 3)).astype(np.float32),
+             root_orient=rng.normal(0, 0.1, (T, 3)).astype(np.float32),
+             betas=rng.normal(0, 0.1, 16).astype(np.float32),
+             pose_body=rng.normal(0, 0.1, (T, 63)).astype(np.float32),
+             pose_hand=rng.normal(0, 0.1, (T, 90)).astype(np.float32),
+             pose_jaw=rng.normal(0, 0.1, (T, 3)).astype(np.float32),
+             pose_eye=rng.normal(0, 0.1, (T, 6)).astype(np.float32))
+
+    for name in ("single.npz", "seq.npz", "amass.npz"):
+        vec = load_pose(str(tmp_path / name), frame=1 if name != "single.npz"
+                        else 0)
+        assert vec.shape == (1, 188), name
+        parsed = parse_param_vector(jnp.asarray(vec))
+        assert parsed.body_pose.shape[-1] == 63, name
+    # sequence frame selection picks the right frame
+    v1 = load_pose(str(tmp_path / "seq.npz"), frame=1)
+    np.testing.assert_allclose(v1[0, :3], single["transl"] * 0.5)
+    # AMASS betas are zeroed (reference load_amass quirk)
+    va = load_pose(str(tmp_path / "amass.npz"))
+    np.testing.assert_array_equal(va[0, 6:16], np.zeros(10))
