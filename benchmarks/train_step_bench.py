@@ -98,24 +98,25 @@ def main():
     jax.block_until_ready(state.disc_params)
     compile_d = time.time() - t0
 
-    def timed(fn, *a):
+    def timed(fn, st, *a):
         best = 1e9
         for _ in range(2):
             t0 = time.time()
-            out = None
             for _ in range(args.steps):
-                out = fn(*a)
-            jax.block_until_ready(out[0].params)
+                st, _logs = fn(st, *a)        # states are DONATED: rebind
+            jax.block_until_ready(st.params)
             best = min(best, (time.time() - t0) / args.steps)
-        return best
+        return best, st
 
     if args.trace:
         with jax.profiler.trace(args.trace):
-            s2, _ = trainer.train_step_g(state, sharded, lpips_params, key)
-            jax.block_until_ready(s2.params)
+            state, _ = trainer.train_step_g(state, sharded, lpips_params,
+                                            key)
+            jax.block_until_ready(state.params)
 
-    g_s = timed(trainer.train_step_g, state, sharded, lpips_params, key)
-    d_s = timed(trainer.train_step_d, state, sharded, key)
+    g_s, state = timed(trainer.train_step_g, state, sharded, lpips_params,
+                       key)
+    d_s, state = timed(trainer.train_step_d, state, sharded, key)
 
     rays = args.batch * cfg.num_views * args.size * args.size
     print(json.dumps({

@@ -162,6 +162,35 @@ class Decoder2D(nn.Module):
                        name="conv_out")(x)
 
 
+def _sdpa(q, k, v, max_logit_elems: int = 1 << 25):
+    """SDPA with EXACT query chunking for long sequences.
+
+    XLA's dot_product_attention materializes the [B, h, Nq, Nk] logits (3GB
+    f32 for the vae_b bottleneck cross-attention: 4096 queries x 24576
+    encoder tokens x 8 heads) and saves them for backward. Softmax rows are
+    independent, so chunking the QUERY axis is exact — each chunk's logits
+    stay bounded and jax.checkpoint recomputes them in backward instead of
+    saving. Layouts: q [B,Nq,h,d], k/v [B,Nk,h,d]."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    if nq * nk * h * b <= max_logit_elems:
+        return jax.nn.dot_product_attention(q, k, v)
+    c = max(1, max_logit_elems // (nk * h * b))
+    c = 1 << (c.bit_length() - 1)
+    while nq % c:
+        c //= 2
+    if c < 8:  # awkward shapes: fall back to one-shot
+        return jax.nn.dot_product_attention(q, k, v)
+    qs = jnp.moveaxis(q.reshape(b, nq // c, c, h, d), 1, 0)
+
+    @jax.checkpoint
+    def f(qc):
+        return jax.nn.dot_product_attention(qc, k, v)
+
+    out = jax.lax.map(f, qs)                       # [Nq/c, B, c, h, d]
+    return jnp.moveaxis(out, 0, 1).reshape(b, nq, h, d)
+
+
 class MHA(nn.Module):
     """diffusers-``Attention`` parity (the reference bottleneck attention).
 
@@ -210,9 +239,7 @@ class MHA(nn.Module):
         )
         v = v.reshape(*v.shape[:-1], self.heads, -1)
         # LayerNorm promotes to f32; TPU SDPA wants uniform q/k/v dtypes
-        out = jax.nn.dot_product_attention(
-            q.astype(v.dtype), k.astype(v.dtype), v
-        )
+        out = _sdpa(q.astype(v.dtype), k.astype(v.dtype), v)
         out = out.reshape(*x.shape[:-1], inner)
         out = nn.Dense(self.dim, name="to_out")(out)
         if self.residual:

@@ -36,7 +36,8 @@ from sigman_release_tpu.ops.rasterizer.binning import (
     F_CA, F_CB, F_CC, F_DEPTH, F_MX, F_MY, F_OPA, F_R, PAIR_FEATS,
 )
 from sigman_release_tpu.ops.rasterizer.pallas_forward import (
-    PX, TILE, _chunk_alpha, _cumsum0, _pixel_coords, tiles_per_program,
+    PX, TILE, _chunk_alpha, _cumsum0, _pixel_basis, _pixel_coords,
+    tiles_per_program,
 )
 
 T_EPS = 1e-4
@@ -89,19 +90,11 @@ def _backward_one_tile(
     end = start + count
     end_unaligned = end % chunk != 0
     px, py = _pixel_coords(tile_in_view, ntx_per_view)
-    # tile-local pixel coords for the moment matmul: the five d(mean)/d(conic)
-    # lane reductions are polynomials in pixel position, so they reduce to
-    # ONE [K,PX]@[PX,8] MXU matmul against constant pixel-moment columns —
-    # but only in tile-LOCAL coordinates, where |X| ~ tile size keeps the
-    # m^2*S0 - 2m*SX + SXX expansions far from f32 cancellation
-    ox = px[:, 0:1]                                # tile origin (first pixel)
-    oy = py[:, 0:1]
-    xl = px - ox                                   # [1,PX] in [0, TILE)
-    yl = py - oy
-    moments = jnp.concatenate(
-        [jnp.ones_like(xl), xl, yl, xl * xl, xl * yl, yl * yl,
-         jnp.zeros_like(xl), jnp.zeros_like(xl)], axis=0,
-    ).T                                            # [PX,8]
+    # tile-local moment basis (see _pixel_basis): shared by the quadratic
+    # power matmul in _chunk_alpha and the d(mean)/d(conic) reductions —
+    # five lane reductions become ONE [K,PX]@[PX,8] MXU matmul; tile-local
+    # coords keep the m^2*S0 - 2m*SX + SXX expansions off f32 cancellation
+    ox, oy, moments = _pixel_basis(px, py)
 
     @pl.when(t == 0)
     def _():
@@ -192,7 +185,7 @@ def _backward_one_tile(
         feats = chunk_vmem[slot, :, :].T                  # [K,16]
         p = c * chunk + row - off
         row_ok = (p >= 0) & (p < count)
-        alpha, gexp, dx, dy, unclamped = _chunk_alpha(feats, px, py, row_ok)
+        alpha, unclamped = _chunk_alpha(feats, ox, oy, moments, row_ok)
 
         one_m = 1.0 - alpha
         lg = jnp.log(one_m)

@@ -61,27 +61,56 @@ def _pixel_coords(tile_idx, ntx):
     return px, py
 
 
-def _chunk_alpha(feats, px, py, row_ok):
+def _pixel_basis(px, py):
+    """Tile origin + the [PX, 8] pixel-moment basis [1, X, Y, X^2, XY, Y^2]
+    in TILE-LOCAL coordinates (X = px - origin) — shared by the quadratic
+    power evaluation (below) and the backward kernel's moment reductions."""
+    ox = px[:, 0:1]                                # first pixel = tile origin
+    oy = py[:, 0:1]
+    xl = px - ox
+    yl = py - oy
+    basis = jnp.concatenate(
+        [jnp.ones_like(xl), xl, yl, xl * xl, xl * yl, yl * yl,
+         jnp.zeros_like(xl), jnp.zeros_like(xl)], axis=0,
+    ).T                                            # [PX, 8]
+    return ox, oy, basis
+
+
+def _chunk_alpha(feats, ox, oy, basis, row_ok):
     """Per-chunk alpha evaluation shared by forward and backward.
 
-    feats [K,16] f32; px/py (1,PX); row_ok (K,1) bool.
-    Returns alpha [K,PX] plus intermediates used by backward.
+    feats [K,16] f32; (ox, oy, basis) from :func:`_pixel_basis`;
+    row_ok (K,1) bool. The Gaussian exponent is a per-pair QUADRATIC in
+    pixel coords, so its pixel grid evaluates as ONE [K,8]@[PX,8]^T MXU
+    matmul of per-pair coefficients against the constant moment basis —
+    replacing ~9 [K,PX] VPU ops (dx/dy/products) per chunk. Tile-local
+    coords keep |coeff·moment| ~ the exponent's own magnitude, far from
+    f32 cancellation.
     """
-    mx = feats[:, F_MX:F_MX + 1]
-    my = feats[:, F_MY:F_MY + 1]
+    ml = feats[:, F_MX:F_MX + 1] - ox              # [K,1] tile-local mean
+    nl = feats[:, F_MY:F_MY + 1] - oy
     ca = feats[:, F_CA:F_CA + 1]
     cb = feats[:, F_CB:F_CB + 1]
     cc = feats[:, F_CC:F_CC + 1]
     opa = feats[:, F_OPA:F_OPA + 1]
-    dx = mx - px                                   # [K,PX]
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    # -0.5 ca (ml-X)^2 - 0.5 cc (nl-Y)^2 - cb (ml-X)(nl-Y)  expanded in X, Y
+    c0 = -0.5 * (ca * ml * ml + cc * nl * nl) - cb * ml * nl
+    cx = ca * ml + cb * nl
+    cy = cc * nl + cb * ml
+    zero = jnp.zeros_like(c0)
+    coeffs = jnp.concatenate(
+        [c0, cx, cy, -0.5 * ca, -cb, -0.5 * cc, zero, zero], axis=-1
+    )                                              # [K,8]
+    power = jax.lax.dot_general(                   # [K,PX]
+        coeffs, basis, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     g = jnp.exp(power)
     raw = opa * g
     live = row_ok & (power <= 0.0)
     alpha = jnp.where(live & (raw >= ALPHA_MIN), jnp.minimum(raw, ALPHA_MAX), 0.0)
     unclamped = raw < ALPHA_MAX                    # gradient mask for the clamp
-    return alpha, g, dx, dy, unclamped
+    return alpha, unclamped
 
 
 def _forward_kernel(
@@ -116,9 +145,11 @@ def _forward_one_tile(
     count = count_ref[t]
     # segments are NOT chunk-aligned (binning v4): the first/last chunk is
     # shared with neighbouring tiles; rows outside [off, off+count) mask off
+    # (px/py computed below; ox/oy/basis feed the quadratic power matmul)
     chunk0 = start // chunk
     off = start % chunk
     px, py = _pixel_coords(tile_in_view, ntx_per_view)
+    ox, oy, basis = _pixel_basis(px, py)
 
     n_chunks = pl.cdiv(off + count, chunk)
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
@@ -154,7 +185,7 @@ def _forward_one_tile(
         feats = chunk_vmem[slot, :, :].T             # [K,16]
         p = c * chunk + row - off                    # pair index within tile
         row_ok = (p >= 0) & (p < count)
-        alpha, _, _, _, _ = _chunk_alpha(feats, px, py, row_ok)
+        alpha, _ = _chunk_alpha(feats, ox, oy, basis, row_ok)
 
         one_m = 1.0 - alpha
         lg = jnp.log(one_m)                          # alpha <= 0.99 -> finite

@@ -11,7 +11,6 @@ cond/image attention live inside the DiTModel.
 from __future__ import annotations
 
 import functools
-import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -118,7 +117,9 @@ class DiTTrainer:
 
     # ------------------------------------------------------------ train step
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    # state donated: ~1.7B params + adam moments at the dit preset — old
+    # and new state must not be live together. Callers rebind.
+    @functools.partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
     def train_step(self, state: DiTTrainState, batch, rng: jax.Array):
         """SPMD via shard_map (see VAETrainer: avoids the GSPMD partitioning
         pass and makes the gradient all-reduce an explicit pmean)."""

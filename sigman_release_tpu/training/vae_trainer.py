@@ -19,7 +19,6 @@ rotation composition -> rasterize -> photometric losses.
 from __future__ import annotations
 
 import functools
-import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -272,7 +271,10 @@ class VAETrainer:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
         return rng
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    # donate the train state: 250M params + adam moments are ~3GB f32 at
+    # vae_b scale — without donation old AND new state are live across the
+    # step (6GB of the 16GB chip). Callers must rebind (state = step(state)).
+    @functools.partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
     def train_step_g(self, state: TrainState, batch, lpips_params,
                      rng: jax.Array):
         from jax.sharding import PartitionSpec as P
@@ -328,7 +330,7 @@ class VAETrainer:
         )
         return fn(state, batch, lpips_params, rng)
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    @functools.partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
     def train_step_d(self, state: TrainState, batch, rng: jax.Array):
         from jax.sharding import PartitionSpec as P
 

@@ -52,12 +52,15 @@ def _batch():
 def test_dit_train_step(setup):
     trainer, state = setup
     sharded = shard_batch(_batch(), trainer.mesh)
-    new_state, logs = trainer.train_step(state, sharded, jax.random.PRNGKey(0))
+    # train_step donates its state: feed it a clone, keep the original
+    clone = jax.tree.map(jnp.array, state)
+    a = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    new_state, logs = trainer.train_step(clone, sharded,
+                                         jax.random.PRNGKey(0))
     assert np.isfinite(float(logs["loss"]))
     assert int(new_state.step) == 1
-    a = jax.tree.leaves(state.params)[0]
     b = jax.tree.leaves(new_state.params)[0]
-    assert np.abs(np.asarray(b - a)).max() > 0
+    assert np.abs(np.asarray(b) - a).max() > 0
 
 
 def test_dit_sampling(setup):

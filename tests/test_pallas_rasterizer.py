@@ -48,12 +48,15 @@ def test_forward_matches_dense(seed):
     for v in range(cv.shape[0]):
         ref = render_dense(means, cov3d, colors, opa, cv[v], cvp[v],
                            TH, TH, cfg.img_h, cfg.img_w, bg_color=jnp.ones(3))
+        # 5e-5: the kernel evaluates the Gaussian exponent as an expanded
+        # quadratic (one MXU matmul, pallas_forward._chunk_alpha) — a few
+        # e-5 of f32 rounding vs the oracle's factored form
         np.testing.assert_allclose(
             np.asarray(out["image"][v]), np.asarray(ref["image"]),
-            atol=2e-5, rtol=1e-4,
+            atol=5e-5, rtol=1e-4,
         )
         np.testing.assert_allclose(
-            np.asarray(out["alpha"][v]), np.asarray(ref["alpha"]), atol=2e-5
+            np.asarray(out["alpha"][v]), np.asarray(ref["alpha"]), atol=5e-5
         )
         np.testing.assert_allclose(
             np.asarray(out["depth"][v]), np.asarray(ref["depth"]),
