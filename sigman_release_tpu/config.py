@@ -125,6 +125,10 @@ class Config:
     # mesh_shape=(-1, 2), mesh_axes=("data", "view").
     mesh_shape: Tuple[int, ...] = (-1,)
     mesh_axes: Tuple[str, ...] = ("data",)
+    # SPMD mode: "shard_map" (explicit-pmean DP, the Pallas-friendly
+    # default) or "fsdp" (GSPMD with params+optimizer sharded over 'data' —
+    # DiT only; the renderer graph must stay under shard_map)
+    spmd: str = "shard_map"
 
     @property
     def hidden_dim(self) -> int:

@@ -116,3 +116,55 @@ def test_dit_sample_eval_renders_and_scores(setup, tmp_path):
     import os as _os
 
     assert _os.path.exists(vis)
+
+
+def test_dit_fsdp_shards_state_and_matches_local():
+    """spmd='fsdp': params + optimizer state shard over the data axis
+    (ZeRO/FSDP via GSPMD — the 1.7B dit preset cannot hold adam moments on
+    one chip) and the global-semantics step matches the unsharded one."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh8 = make_mesh((8,), ("data",))
+    tr8 = DiTTrainer(CFG, mesh=mesh8, spmd="fsdp")
+    tr1 = DiTTrainer(CFG, mesh=make_mesh((1,), ("data",)), spmd="local")
+    vae = VAEModel(CFG)
+    key = jax.random.PRNGKey(0)
+    H, V = CFG.input_size, CFG.num_input_views
+    vae_params = vae.init({"params": key, "sample": key},
+                          jnp.zeros((1, V, 9, H, H)),
+                          jnp.zeros((1, 3, H, H)), key)
+    enc = ViTFeatureEncoder(embed_dim=CFG.text_embed_dim, depth=1, heads=2,
+                            patch_size=16)
+    enc_params = enc.init(jax.random.PRNGKey(1), jnp.zeros((1, 3, 64, 64)))
+    for tr in (tr8, tr1):
+        tr.vae_params, tr.encoder_params, tr.encoder = (vae_params,
+                                                        enc_params, enc)
+
+    s8 = tr8.init_state(jax.random.PRNGKey(2))
+    s1 = tr1.init_state(jax.random.PRNGKey(2))
+    # at least one param leaf actually sharded over 'data'
+    sharded = [
+        x for x in jax.tree.leaves(s8.params)
+        if hasattr(x, "sharding") and "data" in str(x.sharding.spec)
+    ]
+    assert sharded, "no parameter leaf picked up a data-axis shard"
+
+    rng = np.random.default_rng(0)
+    B = 8
+    batch = {
+        "input": rng.normal(0, 1, (B, V, 9, H, H)).astype(np.float32),
+        "UV_inital": rng.uniform(0, 1, (B, 3, H, H)).astype(np.float32),
+        "sapiens_input": rng.normal(0, 1, (B, 3, H, H)).astype(np.float32),
+    }
+    n8, logs8 = tr8.train_step(
+        jax.tree.map(jnp.array, s8), shard_batch(batch, mesh8),
+        jax.random.PRNGKey(3))
+    n1, logs1 = tr1.train_step(jax.tree.map(jnp.array, s1), batch,
+                               jax.random.PRNGKey(3))
+    # same global program, same rng -> identical loss
+    np.testing.assert_allclose(float(logs8["loss"]), float(logs1["loss"]),
+                               rtol=1e-4)
+    # donated update keeps the sharding
+    post = [x for x in jax.tree.leaves(n8.params)
+            if hasattr(x, "sharding") and "data" in str(x.sharding.spec)]
+    assert post

@@ -57,7 +57,7 @@ def main():
     )
 
     trainer = DiTTrainer(cfg, vae_params=vae_params, encoder_params=enc_params,
-                         latent_renderer=latent_renderer)
+                         latent_renderer=latent_renderer, spmd=cfg.spmd)
     state = trainer.init_state(k3)
     if cfg.resume:
         state = trainer.resume(state, cfg.resume)
