@@ -270,3 +270,42 @@ def test_inference_pose_loaders(tmp_path):
     # AMASS betas are zeroed (reference load_amass quirk)
     va = load_pose(str(tmp_path / "amass.npz"))
     np.testing.assert_array_equal(va[0, 6:16], np.zeros(10))
+
+
+@pytest.mark.parametrize("name,J,V", [("smpl", 24, 120), ("mano", 16, 60),
+                                      ("flame", 5, 40)])
+def test_generic_body_family(tmp_path, name, J, V):
+    """One loader + one forward covers SMPL/MANO/FLAME asset shapes
+    (reference vendors the full smplx package for these,
+    smplx/body_models.py:46-2453)."""
+    from sigman_release_tpu.body.family import body_forward, load_body_npz
+
+    rng = np.random.default_rng(J)
+    parents = np.zeros((2, J), np.int64)
+    parents[0] = np.arange(J) - 1
+    parents[0, 0] = 4294967295  # smpl releases store uint32 -1
+    np.savez(
+        tmp_path / f"{name}.npz",
+        v_template=rng.normal(0, 0.2, (V, 3)).astype(np.float32),
+        shapedirs=rng.normal(0, 0.01, (V, 3, 10)).astype(np.float32),
+        posedirs=rng.normal(0, 0.001, (V, 3, (J - 1) * 9)).astype(np.float32),
+        J_regressor=(np.ones((J, V), np.float32) / V),
+        weights=np.eye(J, dtype=np.float32)[rng.integers(0, J, V)],
+        kintree_table=parents,
+        f=rng.integers(0, V, (2 * V, 3)),
+    )
+    model = load_body_npz(str(tmp_path / f"{name}.npz"))
+    assert model.num_joints == J and model.num_verts == V
+    betas = jnp.zeros((2, 10))
+    pose = jnp.asarray(rng.normal(0, 0.2, (2, J * 3)), jnp.float32)
+    out = body_forward(model, betas, pose,
+                       transl=jnp.asarray([[0.0, 0.0, 0.0], [0, 1, 0]]))
+    assert out.verts.shape == (2, V, 3)
+    assert np.isfinite(np.asarray(out.verts)).all()
+    # zero pose with identity-ish: verts finite and translation applies
+    out0 = body_forward(model, betas, jnp.zeros((2, J * 3)),
+                        transl=jnp.asarray([[0.0, 0.0, 0.0], [0, 1, 0]]))
+    np.testing.assert_allclose(
+        np.asarray(out0.verts[1] - out0.verts[0]),
+        np.broadcast_to([0, 1, 0], (V, 3)), atol=1e-5,
+    )
