@@ -28,13 +28,25 @@ def save_checkpoint(path: str, state: Any) -> None:
     Converted through flax ``to_state_dict`` so tuples/NamedTuples (optax
     states) serialize as indexed dicts.
     """
+    sd = serialization.to_state_dict(state)
+
+    def to_host(x):
+        if not hasattr(x, "shape"):
+            return x
+        # multi-host sharded leaves (fsdp / view meshes) aren't addressable
+        # from one process — gather them; every process must participate
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            )
+        return np.asarray(x)
+
+    host_state = jax.tree.map(to_host, sd)
     if jax.process_index() != 0:
         return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    sd = serialization.to_state_dict(state)
-    host_state = jax.tree.map(
-        lambda x: np.asarray(x) if hasattr(x, "shape") else x, sd
-    )
     data = serialization.msgpack_serialize(host_state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
