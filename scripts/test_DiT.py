@@ -99,6 +99,64 @@ def load_camera_rig(camera_json: str, view_ids, znear, zfar):
     return cam_view, cam_view_proj
 
 
+def run_eval(args, cfg, vae_trainer, dit_trainer, state, dit_state,
+             lpips_params):
+    """Test-set generation metrics: per item, sample from the conditioning
+    image, decode through the frozen VAE, render the GT views, and score
+    PSNR/SSIM/LPIPS against them (reference scripts/test_DiT.py:347-478)."""
+    import jax.numpy as jnp
+
+    from sigman_release_tpu.data import (
+        DataLoader, HGSDataset, SyntheticAvatarDataset,
+    )
+    from sigman_release_tpu.losses.metrics import psnr, ssim
+
+    if cfg.synthetic_data:
+        ds = SyntheticAvatarDataset(cfg, n_items=max(2, cfg.synthetic_items))
+    else:
+        ds = HGSDataset(cfg, training=False)
+    loader = DataLoader(ds, cfg.batch_size, shuffle=False,
+                        num_workers=cfg.num_workers, drop_last=False)
+    os.makedirs(args.out_dir, exist_ok=True)
+    sums = {}
+    for i, batch in enumerate(loader):
+        if i >= args.eval_batches:
+            break
+        lat = dit_trainer.sample(dit_state,
+                                 jnp.asarray(batch["sapiens_input"]),
+                                 jax.random.fold_in(jax.random.PRNGKey(7), i),
+                                 num_inference_steps=args.steps)
+        z = jnp.moveaxis(lat / cfg.vae_scaling_factor, 1, -1)
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                  if hasattr(v, "dtype")
+                  and np.issubdtype(np.asarray(v).dtype, np.number)}
+        out = vae_trainer.render_latent(state.params, z, arrays)
+        if i < 4:
+            from sigman_release_tpu.utils.visualize import save_visualization
+
+            save_visualization(
+                jax.tree.map(np.asarray, out),
+                os.path.join(args.out_dir, f"eval_{i:03d}.png"),
+            )
+        pred = out["images_pred"]
+        gt = out["images_gt"]
+        fp = pred.reshape(-1, *pred.shape[2:])
+        fg = gt.reshape(-1, *gt.shape[2:])
+        vals = {
+            "psnr": float(psnr(pred, gt)),
+            "ssim": float(ssim(fp, fg)),
+            "lpips": float(jnp.mean(vae_trainer.lpips.apply(
+                lpips_params, fp * 2.0 - 1.0, fg * 2.0 - 1.0))),
+        }
+        for k, v in vals.items():
+            sums.setdefault(k, []).append(v)
+        print(f"[eval] batch {i}: " + "  ".join(
+            f"{k} {v:.4f}" for k, v in vals.items()), flush=True)
+    print("[eval] mean: " + "  ".join(
+        f"{k} {np.mean(v):.4f}" for k, v in sums.items()) +
+        f"  ({len(next(iter(sums.values()), []))} batches)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--image_path", default="/root/reference/demo/images/demo.jpg")
@@ -115,6 +173,11 @@ def main():
     ap.add_argument("--camera_json", default=None,
                     help="90-camera calibration json; renders the fixed "
                          "20-view test rig instead of a synthetic orbit")
+    ap.add_argument("--eval", action="store_true",
+                    help="test-set metrics instead of single-image "
+                         "inference (reference scripts/test_DiT.py eval(), "
+                         ":347-478)")
+    ap.add_argument("--eval_batches", type=int, default=16)
     args = ap.parse_args()
 
     cfg = PRESETS[args.preset]
@@ -124,7 +187,7 @@ def main():
     vae_trainer = VAETrainer(
         cfg, interpret=jax.devices()[0].platform == "cpu"
     )
-    state, _ = vae_trainer.init_state(key)
+    state, lpips_params = vae_trainer.init_state(key)
     if args.vae_ckpt:
         state = vae_trainer.resume(state, args.vae_ckpt)
 
@@ -135,11 +198,19 @@ def main():
     encoder = ViTFeatureEncoder(embed_dim=cfg.text_embed_dim)
     enc_params = encoder.init(jax.random.PRNGKey(1),
                               jnp.zeros((1, 3, 256, 256)))
-    dit_trainer = DiTTrainer(cfg, vae_params=state.params,
-                             encoder_params=enc_params)
+    dit_trainer = DiTTrainer(
+        cfg, vae_params=state.params, encoder_params=enc_params,
+        latent_renderer=lambda z, b: vae_trainer.render_latent(
+            state.params, z, b
+        ),
+    )
     dit_state = dit_trainer.init_state(jax.random.PRNGKey(2))
     if args.dit_ckpt:
         dit_state = dit_trainer.resume(dit_state, args.dit_ckpt)
+
+    if args.eval:
+        return run_eval(args, cfg, vae_trainer, dit_trainer, state,
+                        dit_state, lpips_params)
 
     # condition image
     img = cv2.imread(args.image_path, cv2.IMREAD_UNCHANGED)
