@@ -473,6 +473,7 @@ class VAETrainer:
         key = jax.random.PRNGKey(cfg.seed + jax.process_index())
         step = int(state.step)
         timer = StepTimer()
+        best = {}   # best-so-far eval metrics (reference train_vae.py:341-347)
         done = False
         while not done:
             for batch in train_loader:
@@ -511,6 +512,11 @@ class VAETrainer:
                            if jax.process_index() == 0 else None)
                     ev = self.evaluate(state, eval_loader, key,
                                        lpips_params, vis_path=vis)
+                    for k, v in ev.items():
+                        hi_is_better = "lpips" not in k
+                        if (k not in best
+                                or (v > best[k]) == hi_is_better):
+                            best[k] = v
                     if jax.process_index() == 0:
                         print(f"[vae] eval @ {step}: {ev}", flush=True)
                         if logger is not None:
@@ -519,6 +525,11 @@ class VAETrainer:
                 done = True
         if ckpt_path:
             save_checkpoint(ckpt_path, state)
+        if best and jax.process_index() == 0:
+            summary = {f"best_{k}": v for k, v in best.items()}
+            print(f"[vae] best eval: {summary}", flush=True)
+            if logger is not None:
+                logger.log(step, summary)
         return state
 
     def resume(self, state: TrainState, path: str) -> TrainState:
