@@ -24,7 +24,11 @@ from sigman_release_tpu.diffusion.pipeline import SamplePipeline
 from sigman_release_tpu.models.dit import DiTModel
 from sigman_release_tpu.models.encoders import ViTFeatureEncoder
 from sigman_release_tpu.models.vae import VAEModel
-from sigman_release_tpu.parallel.mesh import make_mesh, shard_batch
+from sigman_release_tpu.parallel.mesh import (
+    make_mesh,
+    prefetch_to_device,
+    shard_batch,
+)
 from sigman_release_tpu.training.checkpoint import (
     load_checkpoint,
     save_checkpoint,
@@ -259,12 +263,13 @@ class DiTTrainer:
         timer = StepTimer()
         done = False
         while not done:
-            for batch in train_loader:
+            # device_put one batch ahead: the H2D copy overlaps the
+            # previous step's compute (parallel/mesh.prefetch_to_device)
+            for sharded in prefetch_to_device(train_loader, self.mesh):
                 if num_steps is not None and step >= num_steps:
                     done = True
                     break
                 key, sub = jax.random.split(key)
-                sharded = shard_batch(batch, self.mesh)
                 with trace_if(profile_dir, step, every=profile_every,
                               enabled=profile_dir is not None):
                     state, logs = self.train_step(state, sharded, sub)

@@ -44,7 +44,11 @@ from sigman_release_tpu.losses.gan import PatchDiscriminator
 from sigman_release_tpu.losses.lpips import LPIPS, load_lpips_params
 from sigman_release_tpu.losses.metrics import masked_psnr, psnr, ssim
 from sigman_release_tpu.models.vae import VAEModel, compose_rotations, sample_gaussian_attrs
-from sigman_release_tpu.parallel.mesh import make_mesh, shard_batch
+from sigman_release_tpu.parallel.mesh import (
+    make_mesh,
+    prefetch_to_device,
+    shard_batch,
+)
 from sigman_release_tpu.renderer import GaussianRenderer
 from sigman_release_tpu.training.checkpoint import (
     load_checkpoint,
@@ -476,12 +480,13 @@ class VAETrainer:
         best = {}   # best-so-far eval metrics (reference train_vae.py:341-347)
         done = False
         while not done:
-            for batch in train_loader:
+            # device_put one batch ahead: the H2D copy overlaps the
+            # previous step's compute (parallel/mesh.prefetch_to_device)
+            for sharded in prefetch_to_device(train_loader, self.mesh):
                 if num_steps is not None and step >= num_steps:
                     done = True
                     break
                 key, sub = jax.random.split(key)
-                sharded = shard_batch(batch, self.mesh)
                 use_d = (
                     step >= cfg.disc_start and step % 2 == 1
                 )  # parity alternation (train_vae.py:137-147)
