@@ -56,9 +56,9 @@ def main():
     cfg = RasterizeConfig(
         img_h=hw, img_w=hw, tan_half_fovx=th, tan_half_fovy=th,
         chunk=128, interpret=on_cpu,
-        # full 6x6 window (near-camera gaussians in this cloud overflow a 4x4
-        # window — the assert below enforces zero dropped pairs); the tighter
-        # pair budget shrinks all P_alloc-proportional placement work
+        # 3x3 base window + top-K 6x6 fallback (binning v5 dual window;
+        # the assert below enforces <1% dropped pairs); the tighter pair
+        # budget shrinks all P_alloc-proportional placement work
         pair_budget_factor=5,
     )
     means = jnp.asarray(g["means3d"])
