@@ -115,6 +115,7 @@ class Config:
     template_dir: str = "./assets/template"
     smplx_model_path: Optional[str] = None   # SMPLX_NEUTRAL.npz etc.
     vae_path: str = "./ckpt/autoencoder/autoencoder.safetensors"
+    sapiens_path: str = ""  # converted Sapiens encoder (convert_sapiens.py)
     dit_path: str = "./ckpt/transformer/transformer.safetensors"
     gender: str = "neutral"
 

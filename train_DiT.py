@@ -44,8 +44,18 @@ def main():
             vae_params = tolerant_restore(
                 jax.tree.map(lambda x: x, vae_params), loaded["params"]
             )
-    encoder = ViTFeatureEncoder(embed_dim=cfg.text_embed_dim)
-    enc_params = encoder.init(k2, jnp.zeros((1, 3, 256, 256)))
+    if cfg.sapiens_path and os.path.exists(cfg.sapiens_path):
+        # converted real Sapiens-1B weights (scripts/convert_sapiens.py)
+        from sigman_release_tpu.models.encoders import sapiens_1b_encoder
+
+        encoder = sapiens_1b_encoder()
+        enc_params = encoder.init(k2, jnp.zeros((1, 3, 64, 64)))
+        from sigman_release_tpu.training.checkpoint import tolerant_restore as _tr
+
+        enc_params = _tr(enc_params, load_checkpoint(cfg.sapiens_path))
+    else:
+        encoder = ViTFeatureEncoder(embed_dim=cfg.text_embed_dim)
+        enc_params = encoder.init(k2, jnp.zeros((1, 3, 256, 256)))
 
     # decode+deform+render stack for the in-training sampling eval
     # (reference train_DiT.py:417-457): the frozen VAE's decode_uv path
