@@ -90,26 +90,60 @@ class DiTTrainer:
     # ------------------------------------------------------------------ fsdp
 
     def fsdp_shardings(self, tree):
-        """ZeRO/FSDP-style sharding tree: every leaf shards its first
-        mesh-divisible dim over 'data', scalars/indivisible leaves
-        replicate. Applied to params AND optimizer state — at the dit
-        preset (~1.7B params) adam moments alone are 13.6GB f32, far past
-        one chip; XLA inserts the all-gathers/reduce-scatters (GSPMD —
-        fine here: no Pallas inside the DiT graph, unlike the renderer)."""
+        """ZeRO/FSDP (+ optional tensor-parallel) sharding tree.
+
+        * 'data' axis: every leaf shards its first mesh-divisible dim —
+          ZeRO-style; at the dit preset (~1.7B params) adam moments alone
+          are 13.6GB f32, far past one chip.
+        * 'model' axis (when the mesh has one): Megatron-style TP on the
+          transformer blocks — qkv and FFN-in kernels shard their OUTPUT
+          features, out-proj and FFN-out kernels their INPUT features, so
+          each block runs one all-reduce per sublayer.
+
+        Applied to params AND optimizer state; XLA/GSPMD inserts the
+        collectives (safe here: no Pallas in the DiT graph, unlike the
+        renderer)."""
+        import jax.tree_util as jtu
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n = self.mesh.shape[self.cfg.mesh_axes[0]]
-        axis = self.cfg.mesh_axes[0]
+        sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        data_ax = self.cfg.mesh_axes[0]
+        n_data = sizes.get(data_ax, 1)
+        n_model = sizes.get("model", 1)
 
-        def leaf(x):
-            spec = [None] * getattr(x, "ndim", 0)
-            for d, s in enumerate(getattr(x, "shape", ())):
-                if s % n == 0 and s >= n:
-                    spec[d] = axis
+        def names(path):
+            out = []
+            for k in path:
+                for attr in ("key", "name", "idx"):
+                    if hasattr(k, attr):
+                        out.append(str(getattr(k, attr)))
+                        break
+            return out
+
+        def leaf(path, x):
+            shape = tuple(getattr(x, "shape", ()))
+            spec = [None] * len(shape)
+            ns = names(path)
+            is_kernel = ns and ns[-1] == "kernel"
+            is_bias = ns and ns[-1] == "bias"
+            col = any(n in ("to_q", "to_k", "to_v") for n in ns) or (
+                "ff" in ns and "Dense_0" in ns
+            )
+            row = "to_out" in ns or ("ff" in ns and "Dense_1" in ns)
+            if n_model > 1 and shape:
+                if col and is_kernel and shape[-1] % n_model == 0:
+                    spec[-1] = "model"
+                elif col and is_bias and shape[0] % n_model == 0:
+                    spec[0] = "model"
+                elif row and is_kernel and shape[0] % n_model == 0:
+                    spec[0] = "model"
+            for d, s in enumerate(shape):
+                if spec[d] is None and s % n_data == 0 and s >= n_data:
+                    spec[d] = data_ax
                     break
             return NamedSharding(self.mesh, P(*spec))
 
-        return jax.tree.map(leaf, tree)
+        return jtu.tree_map_with_path(leaf, tree)
 
     # ------------------------------------------------------------------ init
 

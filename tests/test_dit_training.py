@@ -168,3 +168,46 @@ def test_dit_fsdp_shards_state_and_matches_local():
     post = [x for x in jax.tree.leaves(n8.params)
             if hasattr(x, "sharding") and "data" in str(x.sharding.spec)]
     assert post
+
+
+def test_dit_fsdp_tensor_parallel_mesh():
+    """2-D (data, model) mesh: Megatron-style TP on qkv/FFN kernels +
+    ZeRO over data, still numerically identical to the local program."""
+    mesh = make_mesh((2, 4), ("data", "model"))
+    tr = DiTTrainer(CFG, mesh=mesh, spmd="fsdp")
+    tr1 = DiTTrainer(CFG, mesh=make_mesh((1,), ("data",)), spmd="local")
+    vae = VAEModel(CFG)
+    key = jax.random.PRNGKey(0)
+    H, V = CFG.input_size, CFG.num_input_views
+    vae_params = vae.init({"params": key, "sample": key},
+                          jnp.zeros((1, V, 9, H, H)),
+                          jnp.zeros((1, 3, H, H)), key)
+    enc = ViTFeatureEncoder(embed_dim=CFG.text_embed_dim, depth=1, heads=2,
+                            patch_size=16)
+    enc_params = enc.init(jax.random.PRNGKey(1), jnp.zeros((1, 3, 64, 64)))
+    for t in (tr, tr1):
+        t.vae_params, t.encoder_params, t.encoder = (vae_params, enc_params,
+                                                     enc)
+    s = tr.init_state(jax.random.PRNGKey(2))
+    s1 = tr1.init_state(jax.random.PRNGKey(2))
+    qk = s.params["params"]["block_0"]["attn1"]["to_q"]["kernel"]
+    assert "model" in str(qk.sharding.spec), qk.sharding
+    ffn = s.params["params"]["block_0"]["ff"]["Dense_1"]["kernel"]
+    assert "model" in str(ffn.sharding.spec), ffn.sharding
+
+    rng = np.random.default_rng(0)
+    B = 2
+    batch = {
+        "input": rng.normal(0, 1, (B, V, 9, H, H)).astype(np.float32),
+        "UV_inital": rng.uniform(0, 1, (B, 3, H, H)).astype(np.float32),
+        "sapiens_input": rng.normal(0, 1, (B, 3, H, H)).astype(np.float32),
+    }
+    _, logs = tr.train_step(jax.tree.map(jnp.array, s),
+                            shard_batch(batch, mesh), jax.random.PRNGKey(3))
+    _, logs1 = tr1.train_step(jax.tree.map(jnp.array, s1), batch,
+                              jax.random.PRNGKey(3))
+    # TP splits contraction dims -> partial-sum reassociation, amplified
+    # through softmax on an untrained net; the pure-DP fsdp test pins the
+    # exact-match case
+    np.testing.assert_allclose(float(logs["loss"]), float(logs1["loss"]),
+                               rtol=2e-2)
