@@ -93,3 +93,34 @@ def test_dense_render_grads_finite():
         assert np.isfinite(np.asarray(gr)).all()
     # some gradient must flow
     assert np.abs(np.asarray(grads[0])).max() > 0
+
+
+def test_golden_file_pin():
+    """Pins the oracle's compositing behavior to a COMMITTED artifact
+    (tests/golden/) so oracle and Pallas kernels can't drift together
+    silently. Regenerate deliberately if compositing rules change (the
+    fp16 storage sets the tolerance)."""
+    import os
+
+    from utils import orbit_rig, random_gaussians, tan_half_fov
+
+    from sigman_release_tpu.ops.rasterizer import build_cov3d, render_dense
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                  "dense_render_96g_64px.npz"))
+    th = tan_half_fov()
+    g = random_gaussians(96, seed=0)
+    cov3d = build_cov3d(jnp.asarray(g["scales"]),
+                        jnp.asarray(g["rotations"]))
+    cv, cvp, _ = orbit_rig(2)
+    for v in range(2):
+        r = render_dense(jnp.asarray(g["means3d"]), cov3d,
+                         jnp.asarray(g["colors"]), jnp.asarray(g["opacity"]),
+                         cv[v], cvp[v], th, th, 64, 64,
+                         bg_color=jnp.ones(3))
+        np.testing.assert_allclose(np.asarray(r["image"], np.float32),
+                                   golden[f"image_{v}"].astype(np.float32),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(r["alpha"], np.float32),
+                                   golden[f"alpha_{v}"].astype(np.float32),
+                                   atol=2e-3)
