@@ -55,6 +55,8 @@ def main():
         logger=logger,
         eval_loader=eval_loader,
         eval_every=cfg.eval_steps,
+        profile_dir=cfg.profile_dir or None,
+        profile_every=cfg.profile_every,
     )
 
 
