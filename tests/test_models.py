@@ -139,3 +139,40 @@ def test_render_head_decode():
     assert cov.shape == (2, 64, 6)
     # diagonal entries positive
     assert np.asarray(cov)[..., [0, 3, 5]].min() > 0
+
+
+def test_apply_rope_matches_diffusers_semantics():
+    """apply_rope == diffusers apply_rotary_emb (use_real=True,
+    repeat_interleave cos/sin, interleaved-pair rotation) — torch replica."""
+    import torch
+
+    from sigman_release_tpu.models.dit import apply_rope, rope_2d
+
+    hd, gh, gw = 8, 2, 3
+    cos, sin = rope_2d(hd, gh, gw)
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2, gh * gw, 2, hd)).astype(np.float32)
+
+    tc = torch.as_tensor(np.asarray(cos))
+    ts = torch.as_tensor(np.asarray(sin))
+    tx = torch.as_tensor(x).permute(0, 2, 1, 3)        # [B,h,S,d]
+    xr, xi = tx.reshape(*tx.shape[:-1], -1, 2).unbind(-1)
+    rot = torch.stack([-xi, xr], dim=-1).flatten(3)
+    t_out = (tx * tc + rot * ts).permute(0, 2, 1, 3).numpy()
+
+    j_out = np.asarray(apply_rope(jnp.asarray(x), cos, sin))
+    np.testing.assert_allclose(j_out, t_out, atol=1e-6)
+
+
+def test_timestep_sinusoid_matches_diffusers():
+    """diffusers Timesteps(flip_sin_to_cos=True, downscale_freq_shift=0)."""
+    from sigman_release_tpu.models.dit import timestep_sinusoid
+
+    dim = 16
+    t = np.array([0, 1, 500, 999], np.int32)
+    half = dim // 2
+    exponent = -np.log(10000.0) * np.arange(half) / half
+    emb = t[:, None].astype(np.float64) * np.exp(exponent)[None]
+    ref = np.concatenate([np.cos(emb), np.sin(emb)], axis=-1)
+    out = np.asarray(timestep_sinusoid(jnp.asarray(t), dim))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
