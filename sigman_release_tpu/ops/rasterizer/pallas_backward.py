@@ -114,10 +114,16 @@ def _backward_one_tile(
     dep_o = fwd_ref[tt, 3:4, :]
     Tr = fwd_ref[tt, 5:6, :]
 
-    # per-pixel total weighted-grad sum + final-T path (g_alpha acts on 1 - Tr)
-    tot = g_r * rgb_r + g_g * rgb_g + g_b * rgb_b + g_d * dep_o
-    tail_const = g_a * Tr                                # enters with - sign
-    g_rgb = jnp.concatenate([g_r, g_g, g_b], axis=0)     # [3,PX]
+    # per-pixel total weighted-grad sum + final-T path (g_alpha acts on
+    # 1 - Tr); the tail constant is folded in here ONCE instead of being
+    # re-subtracted inside every chunk iteration
+    tot2 = (g_r * rgb_r + g_g * rgb_g + g_b * rgb_b + g_d * dep_o
+            - g_a * Tr)
+    # [5,PX] grad rows matching the feats columns r,g,b,opa,depth — the zero
+    # opa row makes u computable with the SAME [K,5] slice as the forward's
+    # accumulation matmul (depth folded into the MXU op, not a VPU mul+add)
+    g_rgb0d = jnp.concatenate(
+        [g_r, g_g, g_b, jnp.zeros_like(g_r), g_d], axis=0)     # [5,PX]
     g_rgbd = jnp.concatenate([g_r, g_g, g_b, g_d], axis=0).T   # [PX,4]
 
     n_chunks = pl.cdiv(off + count, chunk)
@@ -191,21 +197,21 @@ def _backward_one_tile(
         lg = jnp.log(one_m)
         cum_incl = _cumsum0(lg)
         t_incl = Tf * jnp.exp(cum_incl)
-        t_excl = t_incl / one_m                      # one_m >= 0.01: safe
-        contrib = t_incl >= T_EPS
+        inv_one_m = 1.0 / one_m                      # one_m >= 0.01: safe
+        t_excl = t_incl * inv_one_m                  # shared reciprocal —
+        contrib = t_incl >= T_EPS                    # (used twice below)
         w = jnp.where(contrib, alpha * t_excl, 0.0)      # [K,PX]
 
-        cols = feats[:, F_R:F_R + 3]
         u = jax.lax.dot_general(                          # [K,PX]
-            cols, g_rgb, (((1,), (0,)), ((), ())),
+            feats[:, F_R:F_DEPTH + 1], g_rgb0d,           # [K,5]@[5,PX]
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + feats[:, F_DEPTH:F_DEPTH + 1] * g_d
+        )
         uw = u * w
         pref_incl = prefix + _cumsum0(uw)                 # [K,PX]
-        suffix = tot - pref_incl                          # sum over j > k
         d_alpha = jnp.where(
             contrib,
-            u * t_excl - (suffix - tail_const) / one_m,
+            u * t_excl - (tot2 - pref_incl) * inv_one_m,
             0.0,
         )
 

@@ -195,16 +195,17 @@ def _forward_one_tile(
         contrib = t_incl >= T_EPS
         w = jnp.where(contrib, alpha * t_excl, 0.0)  # [K,PX]
 
-        cols = feats[:, F_R:F_R + 3]                 # [K,3]
-        rgb = jax.lax.dot_general(
+        # one MXU matmul accumulates rgb AND depth (rows r,g,b,opa,depth —
+        # the unused opa row is free: the contraction is over K either way)
+        cols = feats[:, F_R:F_DEPTH + 1]             # [K,5]
+        acc = jax.lax.dot_general(
             cols, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                            # [3,PX]
-        dep = jnp.sum(feats[:, F_DEPTH:F_DEPTH + 1] * w, axis=0, keepdims=True)
+        )                                            # [5,PX]
         Tf_new = t_incl[-1:, :]
         Tr_new = jnp.min(jnp.where(contrib, t_incl, Tr), axis=0, keepdims=True)
         return (c + 1, Tf_new, Tr_new,
-                r + rgb[0:1], g + rgb[1:2], b + rgb[2:3], d + dep)
+                r + acc[0:1], g + acc[1:2], b + acc[2:3], d + acc[4:5])
 
     def cond(state):
         c, Tf, *_ = state
