@@ -67,7 +67,12 @@ def project_gaussians(
     in_front = depth > 0.2                                    # matches CUDA near cull
 
     p_hom = hom @ cam_view_proj                               # [N,4]
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    # Denominators are sanitized BEFORE the division: culled points would
+    # otherwise produce inf/NaN here, and even though every downstream
+    # consumer masks on `valid`, a zero cotangent times an inf partial is
+    # NaN — the masked rows must be finite all the way through for the VJP
+    # of the whole projection to stay finite.
+    p_w = 1.0 / jnp.where(in_front, p_hom[:, 3] + 1e-7, 1.0)
     p_proj = p_hom[:, :3] * p_w[:, None]                      # ndc
 
     # ndc2Pix: ((ndc + 1) * S - 1) / 2
@@ -81,7 +86,7 @@ def project_gaussians(
     focal_y = img_h / (2.0 * tan_half_fovy)
 
     # EWA: clamp view-space x/y to 1.3 * fov cone (as the CUDA preprocess does)
-    tz = depth
+    tz = jnp.where(in_front, depth, 1.0)      # finite-grad guard (see p_w)
     limx = 1.3 * tan_half_fovx
     limy = 1.3 * tan_half_fovy
     tx = jnp.clip(p_view[:, 0] / tz, -limx, limx) * tz

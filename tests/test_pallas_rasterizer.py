@@ -102,6 +102,36 @@ def test_backward_matches_dense(grad_bf16, tol):
                                    err_msg=f"grad mismatch: {name}")
 
 
+def test_grads_finite_with_culled_gaussians():
+    """Behind-camera / near-plane points must not poison the VJP.
+
+    Rows with view-space z ~ 0 (in the camera plane) hit divisions by ~0 in
+    project_gaussians; the forward masks them via `valid`, but a zero
+    cotangent times an inf partial is NaN — the projection must keep masked
+    rows finite (regression: grad(means3d) was NaN whenever any gaussian
+    landed near a camera's z=0 plane, where 1/tz and the homogeneous 1/w
+    blow up)."""
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=64)
+    _, _, cam_pos = orbit_rig(2)
+    # drop some gaussians exactly onto / just behind each camera: view z = 0
+    # (division blows up) and z = -1e-4 (w ~ -1e-7 defeats the +1e-7 guard)
+    means = means.at[0].set(jnp.asarray(cam_pos[0]))
+    means = means.at[1].set(jnp.asarray(cam_pos[1]))
+    means = means.at[2].set(jnp.asarray(cam_pos[0]) * (1.0 + 1e-4))
+    cfg = _cfg(hw=32)
+
+    def loss(m, c, col, o):
+        out = rasterize_single(m, c, col, o, cv, cvp, jnp.ones(3), cfg)
+        return (jnp.sum(out["image"] ** 2) + jnp.sum(out["alpha"])
+                + jnp.sum(out["depth"]))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3))(means, cov3d, colors, opa)
+    for name, a in zip(["means3d", "cov3d", "colors", "opacity"], grads):
+        a = np.asarray(a)
+        assert np.isfinite(a).all(), f"non-finite grad: {name}"
+    assert np.abs(np.asarray(grads[0])).max() > 0
+
+
 def test_overflow_reported_when_budget_tiny():
     means, cov3d, colors, opa, cv, cvp = _inputs(n=512)
     cfg = RasterizeConfig(
