@@ -58,6 +58,7 @@ def _backward_kernel(
     dpairs_hbm,                      # out: [NC, 16, chunk] f32|bf16, ANY
     chunk_vmem, out_vmem, carry_vmem, state, dma_sem, out_sem,
     *, ntx_per_view, tiles_per_view, chunk, out_dtype, tiles_per_program,
+    cumsum_mode,
 ):
     # T tiles per grid program — amortizes the ~4.5us fixed per-program cost
     # (see _forward_kernel); the SMEM carry/emit state machine is already
@@ -70,7 +71,7 @@ def _backward_kernel(
                            grad_ref, dpairs_hbm, chunk_vmem, out_vmem,
                            carry_vmem, state, dma_sem, out_sem,
                            ntx_per_view, tiles_per_view, chunk, out_dtype,
-                           tiles_per_program)
+                           tiles_per_program, cumsum_mode)
         return 0
 
     jax.lax.fori_loop(0, tiles_per_program, tile_body, 0)
@@ -80,6 +81,7 @@ def _backward_one_tile(
     t, tt, start_ref, count_ref, pairs_hbm, fwd_ref, grad_ref, dpairs_hbm,
     chunk_vmem, out_vmem, carry_vmem, state, dma_sem, out_sem,
     ntx_per_view, tiles_per_view, chunk, out_dtype, tiles_per_program,
+    cumsum_mode,
 ):
     tile_in_view = t % tiles_per_view
     is_last = t == pl.num_programs(0) * tiles_per_program - 1
@@ -195,7 +197,7 @@ def _backward_one_tile(
 
         one_m = 1.0 - alpha
         lg = jnp.log(one_m)
-        cum_incl = _cumsum0(lg)
+        cum_incl = _cumsum0(lg, cumsum_mode)
         t_incl = Tf * jnp.exp(cum_incl)
         inv_one_m = 1.0 / one_m                      # one_m >= 0.01: safe
         t_excl = t_incl * inv_one_m                  # shared reciprocal —
@@ -208,7 +210,7 @@ def _backward_one_tile(
             preferred_element_type=jnp.float32,
         )
         uw = u * w
-        pref_incl = prefix + _cumsum0(uw)                 # [K,PX]
+        pref_incl = prefix + _cumsum0(uw, cumsum_mode)    # [K,PX]
         d_alpha = jnp.where(
             contrib,
             u * t_excl - (tot2 - pref_incl) * inv_one_m,
@@ -303,7 +305,7 @@ def _backward_one_tile(
 @functools.partial(
     jax.jit,
     static_argnames=("ntx_per_view", "tiles_per_view", "chunk", "interpret",
-                     "out_bf16"),
+                     "out_bf16", "cumsum_mode"),
 )
 def backward_tiles(
     pair_feats: jnp.ndarray,    # [NC, 16, chunk]
@@ -317,6 +319,7 @@ def backward_tiles(
     chunk: int = 128,
     interpret: bool = False,
     out_bf16: bool = False,
+    cumsum_mode: str = "f32",
 ):
     """Returns d(pair_feats) [NC, 16, chunk] (f32, or bf16 with ``out_bf16``).
 
@@ -334,6 +337,7 @@ def backward_tiles(
         chunk=chunk,
         out_dtype=out_dtype,
         tiles_per_program=tpp,
+        cumsum_mode=cumsum_mode,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -36,18 +36,40 @@ TILE = 32              # logical pixel tile (32 x 32 = 1024 px)
 PX = TILE * TILE
 
 
-def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
+def _cumsum0(x: jnp.ndarray, mode: str = "f32") -> jnp.ndarray:
     """Inclusive prefix sum along axis 0 as a triangular matmul.
 
     [K,P] -> [K,P]. Guaranteed Mosaic lowering and runs on the MXU — the
-    per-chunk transmittance scan costs one (K,K)@(K,P) matmul.
+    per-chunk transmittance scan costs one (K,K)@(K,P) matmul. This matmul
+    is ~2/3 of each kernel's per-chunk FLOPs and Mosaic runs f32 dots as
+    multi-pass bf16 on the MXU, so ``mode`` trades passes for precision:
+
+    * ``"f32"``    — full f32 operands (slowest, exactly matches the oracle);
+    * ``"bf16x2"`` — tri (exactly 0/1) in bf16 and x split hi+lo into two
+      bf16 passes with f32 accumulation: ~2^-16 relative rounding per
+      element, one fewer MXU pass than f32;
+    * ``"bf16"``   — single bf16 pass (~2^-9 relative rounding of x).
     """
     k = x.shape[0]
     ri = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    tri = (ci <= ri).astype(x.dtype)
-    return jax.lax.dot_general(
-        tri, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    if mode == "f32":
+        tri = (ci <= ri).astype(x.dtype)
+        return jax.lax.dot_general(
+            tri, x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    tri = (ci <= ri).astype(jnp.bfloat16)
+    hi = x.astype(jnp.bfloat16)
+    cum = jax.lax.dot_general(
+        tri, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if mode == "bf16":
+        return cum
+    assert mode == "bf16x2", mode
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return cum + jax.lax.dot_general(
+        tri, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
@@ -118,7 +140,7 @@ def _forward_kernel(
     pairs_hbm,                      # [NC, 16, chunk] f32 in ANY/HBM
     out_ref,                        # [T, 8, PX] f32 per-program output block
     chunk_vmem, dma_sem,            # scratch
-    *, ntx_per_view, tiles_per_view, chunk, tiles_per_program,
+    *, ntx_per_view, tiles_per_view, chunk, tiles_per_program, cumsum_mode,
 ):
     # T tiles per grid program: the fixed per-program cost (prologue, block
     # copies, scalar bookkeeping) measured ~4.5us — at one tile per program
@@ -130,7 +152,7 @@ def _forward_kernel(
         t = tp * tiles_per_program + tt
         _forward_one_tile(t, tt, start_ref, count_ref, pairs_hbm, out_ref,
                           chunk_vmem, dma_sem, ntx_per_view, tiles_per_view,
-                          chunk)
+                          chunk, cumsum_mode)
         return 0
 
     jax.lax.fori_loop(0, tiles_per_program, tile_body, 0)
@@ -138,7 +160,7 @@ def _forward_kernel(
 
 def _forward_one_tile(
     t, tt, start_ref, count_ref, pairs_hbm, out_ref, chunk_vmem, dma_sem,
-    ntx_per_view, tiles_per_view, chunk,
+    ntx_per_view, tiles_per_view, chunk, cumsum_mode,
 ):
     tile_in_view = t % tiles_per_view
     start = start_ref[t]
@@ -189,7 +211,7 @@ def _forward_one_tile(
 
         one_m = 1.0 - alpha
         lg = jnp.log(one_m)                          # alpha <= 0.99 -> finite
-        cum_incl = _cumsum0(lg)                      # [K,PX]
+        cum_incl = _cumsum0(lg, cumsum_mode)         # [K,PX]
         t_incl = Tf * jnp.exp(cum_incl)
         t_excl = t_incl / one_m                      # one_m >= 0.01: safe
         contrib = t_incl >= T_EPS
@@ -237,7 +259,7 @@ def _forward_one_tile(
 @functools.partial(
     jax.jit,
     static_argnames=("n_programs", "ntx_per_view", "tiles_per_view", "chunk",
-                     "interpret"),
+                     "interpret", "cumsum_mode"),
 )
 def forward_tiles(
     pair_feats: jnp.ndarray,   # [P_pad, 16] f32
@@ -249,6 +271,7 @@ def forward_tiles(
     tiles_per_view: int,
     chunk: int = 128,
     interpret: bool = False,
+    cumsum_mode: str = "f32",
 ):
     """Run the tile kernel. Returns [n_programs, 8, PX] raw tile buffers.
 
@@ -261,6 +284,7 @@ def forward_tiles(
         tiles_per_view=tiles_per_view,
         chunk=chunk,
         tiles_per_program=tpp,
+        cumsum_mode=cumsum_mode,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

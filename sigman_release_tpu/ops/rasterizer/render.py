@@ -44,6 +44,12 @@ class RasterizeConfig(NamedTuple):
     # (~0.4% rel) before the f32 window sums; set False for strict-parity
     # f32 accumulation (the CUDA reference accumulates f32).
     grad_stream_bf16: bool = True
+    # MXU pass count of the kernels' prefix-sum triangular matmuls (~2/3 of
+    # per-chunk kernel FLOPs): "f32" (strict parity), "bf16x2" (hi+lo split,
+    # ~2^-16 relative rounding — indistinguishable at image scale), "bf16"
+    # (single pass, ~2^-9 rounding of log-transmittance / grad prefixes).
+    # See pallas_forward._cumsum0 and tests/test_rasterizer_precision.py.
+    cumsum_mode: str = "f32"
 
     @property
     def ntx(self) -> int:
@@ -88,6 +94,7 @@ def _composite(cfg: RasterizeConfig, dims, feats16, keys_prefix,
         tiles_per_view=cfg.n_tiles,
         chunk=cfg.chunk,
         interpret=cfg.interpret,
+        cumsum_mode=cfg.cumsum_mode,
     )
     return tiles
 
@@ -105,6 +112,7 @@ def _composite_fwd(cfg, dims, feats16, keys_prefix, rowid_prefix, payload,
         tiles_per_view=cfg.n_tiles,
         chunk=cfg.chunk,
         interpret=cfg.interpret,
+        cumsum_mode=cfg.cumsum_mode,
     )
     res = (pair_feats, payload, total_valid, sel_flat,
            tile_start_f, tile_count_f, tiles)
@@ -126,6 +134,7 @@ def _composite_bwd(cfg, dims, res, g_tiles):
         chunk=cfg.chunk,
         interpret=cfg.interpret,
         out_bf16=cfg.grad_stream_bf16,
+        cumsum_mode=cfg.cumsum_mode,
     )                                        # [NC, 16, chunk] f32 | bf16
     g_stream = jnp.swapaxes(d_pairs, 1, 2).reshape(
         budget, binning_lib.PAIR_FEATS

@@ -304,7 +304,8 @@ class VAETrainer:
                     jax.lax.stop_gradient(outputs["images_pred"]),
                     outputs["images_gt"],
                 )
-                logs["overflow"] = overflow.astype(jnp.float32)
+                # total dropped pairs across the local batch (scalar)
+                logs["overflow"] = jnp.sum(overflow).astype(jnp.float32)
                 return loss, logs
 
             grads, logs = jax.grad(loss_fn, has_aux=True)(
