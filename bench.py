@@ -101,11 +101,11 @@ def main():
     jax.block_until_ready(gr)
 
     iters = 10 if not on_cpu else 2
-    t0 = time.time()
+    t0 = time.perf_counter()
     for _ in range(iters):
         gr = grad_fn(means, cov3d, colors, opa)
     jax.block_until_ready(gr)
-    dt = (time.time() - t0) / iters
+    dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = hw * hw / dt
     print(json.dumps({

@@ -4,7 +4,9 @@
 The triangular cumsum matmuls are ~2/3 of per-chunk kernel FLOPs; Mosaic runs
 f32 dots as multi-pass bf16 on the MXU, so "bf16x2" (hi+lo split) saves one
 pass and "bf16" two. This times the full fwd+bwd headline workload per mode,
-min-of-several (tunnel noise protocol, PERF.md).
+min-of-several (tunnel noise protocol, PERF.md), and reports each mode's
+image/grad deltas vs f32 so the speed/precision tradeoff is visible in one
+run (bf16 carries ~2^-9 relative rounding in the transmittance scan).
 """
 
 import json
@@ -47,34 +49,64 @@ def main():
     colors = jnp.asarray(g["colors"])
     opa = jnp.asarray(g["opacity"])
 
+    # pair-overflow honesty guard (same rule as bench.py): the timed
+    # configuration must render essentially all pairs. Binning is
+    # cumsum_mode-independent, so one check covers every mode.
+    base_cfg = RasterizeConfig(
+        img_h=hw, img_w=hw, tan_half_fovx=th, tan_half_fovy=th,
+        chunk=128, interpret=on_cpu, pair_budget_factor=5,
+    )
+    probe = jax.jit(lambda: rasterize_single(
+        means, cov3d, colors, opa, cam_view, cam_view_proj,
+        jnp.ones(3), base_cfg)["overflow"])()
+    overflow = int(jnp.sum(probe))
+    print(f"overflow: {overflow} dropped pairs", flush=True)
+    assert overflow < n_gauss * v * 0.01, (
+        f"pair overflow {overflow}: raise the budget/window"
+    )
+
     results = {}
+    ref_img = ref_grad = None
     for mode in ("f32", "bf16x2", "bf16"):
-        cfg = RasterizeConfig(
-            img_h=hw, img_w=hw, tan_half_fovx=th, tan_half_fovy=th,
-            chunk=128, interpret=on_cpu, pair_budget_factor=5,
-            cumsum_mode=mode,
-        )
+        cfg = base_cfg._replace(cumsum_mode=mode)
+
+        def render(m, c, col, o):
+            return rasterize_single(m, c, col, o, cam_view, cam_view_proj,
+                                    jnp.ones(3), cfg)
 
         def loss(m, c, col, o):
-            out = rasterize_single(m, c, col, o, cam_view, cam_view_proj,
-                                   jnp.ones(3), cfg)
+            out = render(m, c, col, o)
             return jnp.sum(out["image"] ** 2) + jnp.sum(out["alpha"])
 
         grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
         gr = grad_fn(means, cov3d, colors, opa)
         jax.block_until_ready(gr)
 
+        # accuracy vs the f32 reference (image + mean-gradient deltas)
+        img = jax.jit(render)(means, cov3d, colors, opa)["image"]
+        if mode == "f32":
+            ref_img, ref_grad = img, gr
+            acc = {"max_abs_image_delta": 0.0, "rel_dmean_delta": 0.0}
+        else:
+            gscale = float(jnp.max(jnp.abs(ref_grad[0])))
+            acc = {
+                "max_abs_image_delta": float(jnp.max(jnp.abs(img - ref_img))),
+                "rel_dmean_delta": float(
+                    jnp.max(jnp.abs(gr[0] - ref_grad[0]))) / max(gscale, 1e-12),
+            }
+
         reps, iters = (5, 5) if not on_cpu else (1, 1)
         best = float("inf")
         for _ in range(reps):
-            t0 = time.time()
+            t0 = time.perf_counter()
             for _ in range(iters):
                 gr = grad_fn(means, cov3d, colors, opa)
             jax.block_until_ready(gr)
-            best = min(best, (time.time() - t0) / iters)
+            best = min(best, (time.perf_counter() - t0) / iters)
         results[mode] = {
             "ms": best * 1e3,
             "mrays_per_s": hw * hw * v / best / 1e6,
+            **acc,
         }
         print(mode, results[mode], flush=True)
 

@@ -52,14 +52,25 @@ def main():
     trainer.encoder = encoder
 
     t0 = time.time()
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    # sampling runs the model in bf16 — cast the params once like the
-    # reference's bf16 inference
-    state = state._replace(params=jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        state.params))
-    jax.block_until_ready(state.params)
+    # params ONLY — no optimizer state (Adam moments at the 1.7B preset are
+    # 13.6GB and don't fit one 16GB chip next to the params; inference
+    # doesn't need them). Init + bf16 cast inside one jit so the f32 tree
+    # never persists (the reference samples in bf16 too).
+    from sigman_release_tpu.training.dit_trainer import DiTTrainState
+
+    def init_bf16(key):
+        latent = jnp.zeros((1, cfg.in_channels, cfg.sample_height,
+                            cfg.sample_width))
+        cond = jnp.zeros((1, cfg.text_embed_dim, 16, 16))
+        p = trainer.model.init(key, latent, cond, jnp.zeros((1,), jnp.int32))
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, p)
+
+    params = jax.jit(init_bf16)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    state = DiTTrainState(params=params, opt_state=None,
+                          step=jnp.zeros((), jnp.int32))
     init_s = time.time() - t0
 
     B, H = args.batch, cfg.input_size

@@ -21,8 +21,11 @@ from typing import Optional, Tuple
 @dataclass(frozen=True)
 class Config:
     # ---- model / image sizes -------------------------------------------------
-    # NOTE: the reference also defines splat_size / lambda_face, but neither
-    # is read anywhere in its code (dead config) — deliberately not carried.
+    # NOTE: the reference also defines splat_size / lambda_face /
+    # scale_modifier (inert: cov3D_precomp bypasses it in the CUDA path),
+    # condition_mode, timestep_activation_fn, max_text_seq_length and
+    # bottleneck_dim, but none is read anywhere in its code (dead config) —
+    # deliberately not carried. Every field below has >=1 read site.
     input_size: int = 512           # encoder input resolution (H == W)
     output_size: int = 512          # render / supervision resolution
     latent_channels: int = 16       # VAE latent channels (16 x 64 x 64 latent)
@@ -32,7 +35,6 @@ class Config:
     vae_attention_head_dim: int = 64
     encoder_channels: Tuple[int, ...] = (128, 256, 256, 512)
     decoder_channels: Tuple[int, ...] = (256, 512, 512, 1024)
-    bottleneck_dim: int = 512       # UV-query token width
     uv_query_size: int = 64         # learned UV-query grid (64x64 tokens)
 
     # ---- DiT -----------------------------------------------------------------
@@ -45,13 +47,10 @@ class Config:
     in_channels: int = 16
     out_channels: int = 16
     text_embed_dim: int = 1536      # Sapiens feature channels
-    max_text_seq_length: int = 256  # conditioning tokens
     time_embed_dim: int = 512
-    timestep_activation_fn: str = "silu"
     vae_scaling_factor: float = 0.6909025648433997
     use_rotary_positional_embeddings: bool = True
     noised_condition_dropout: float = 0.05
-    condition_mode: str = "patch"
 
     # ---- cameras / rendering -------------------------------------------------
     fovy: float = 0.8712626851529752
@@ -61,8 +60,6 @@ class Config:
     cam_radius: float = 1.5
     num_views: int = 10
     num_input_views: int = 6
-    scale_modifier: float = 0.5     # matches reference rasterizer settings
-    tile_size: int = 32             # pallas rasterizer logical tile (32x32 px)
     max_tiles_per_gaussian: int = 36
 
     # ---- diffusion sampling --------------------------------------------------
@@ -80,6 +77,11 @@ class Config:
     # ---- losses --------------------------------------------------------------
     lambda_lpips: float = 1.0
     lpips_size: int = 256        # LPIPS input resize (whole_loss.py:130-140)
+    # eval metric backbone: the reference evaluates with LPIPS-alex
+    # (core/loss/eval.py:72) while the LOSS uses vgg; "vgg" here reuses the
+    # loss net (one set of converted weights), "alex" matches the reference
+    # eval exactly once converted alexnet weights are supplied
+    eval_lpips_net: str = "vgg"
     lambda_kl: float = 1e-6
     disc_factor: float = 1.0
     disc_weight: float = 1000.0
@@ -103,7 +105,6 @@ class Config:
     log_every: int = 10
 
     # ---- data ----------------------------------------------------------------
-    data_root: str = "./data"
     train_list: str = "./data/train_VAE.npy"
     num_workers: int = 8
     prob_grid_distortion: float = 0.5
@@ -116,8 +117,6 @@ class Config:
     smplx_model_path: Optional[str] = None   # SMPLX_NEUTRAL.npz etc.
     vae_path: str = "./ckpt/autoencoder/autoencoder.safetensors"
     sapiens_path: str = ""  # converted Sapiens encoder (convert_sapiens.py)
-    dit_path: str = "./ckpt/transformer/transformer.safetensors"
-    gender: str = "neutral"
 
     # ---- parallelism ---------------------------------------------------------
     # mesh (-1: all devices on the axis). A second 'view' axis shards the
@@ -162,11 +161,11 @@ PRESETS = {
                         num_input_views=2, latent_channels=4, vae_out_channels=16,
                         self_attention_layers=1, encoder_channels=(8, 16, 16, 32),
                         decoder_channels=(8, 16, 16, 32),
-                        bottleneck_dim=32, uv_query_size=8, num_attention_heads=2,
+                        uv_query_size=8, num_attention_heads=2,
                         vae_attention_heads=2, vae_attention_head_dim=8,
                         attention_head_dim=16, num_layers=2, sample_height=8,
                         sample_width=8, in_channels=4, out_channels=4,
-                        text_embed_dim=32, max_text_seq_length=8, time_embed_dim=32,
+                        text_embed_dim=32, time_embed_dim=32,
                         batch_size=1, synthetic_data=True,
                         mixed_precision="no"),
 }

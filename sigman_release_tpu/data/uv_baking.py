@@ -124,6 +124,47 @@ def scatter_average(
         np.add.at(weight, (yi, xi), w * wi)
 
 
+def mip_fill(tex: np.ndarray, weight: np.ndarray, uv: np.ndarray,
+             values: np.ndarray, w: np.ndarray,
+             min_resolution: int = 32) -> None:
+    """Fill still-empty texels from progressively coarser scatter grids
+    (in place) — the reference's mip-mapped fallback
+    (/root/reference/core/proj_UV/grid_put.py:129-159): each mip level
+    re-scatters ALL samples at half the previous resolution and bilinearly
+    upsamples into texels no finer level covered, so sparse-coverage
+    regions get a low-frequency estimate instead of staying holes for the
+    dilation pass."""
+    T = tex.shape[0]
+    cur = T // 2
+    while cur >= min_resolution:
+        empty = weight <= 1e-6
+        if not empty.any():
+            return
+        mip_t = np.zeros((cur, cur, tex.shape[2]), tex.dtype)
+        mip_w = np.zeros((cur, cur), weight.dtype)
+        scatter_average(mip_t, mip_w, uv, values, w)
+        # bilinear upsample (align_corners=False): target texel centers
+        # sample the mip at (i + .5) * cur / T - .5
+        c = (np.arange(T, dtype=np.float32) + 0.5) * cur / T - 0.5
+        c0 = np.clip(np.floor(c).astype(np.int64), 0, cur - 1)
+        c1 = np.minimum(c0 + 1, cur - 1)
+        f = np.clip(c - c0, 0.0, 1.0)
+
+        def up(a):
+            a0 = a[c0][:, c0]
+            a1 = a[c0][:, c1]
+            a2 = a[c1][:, c0]
+            a3 = a[c1][:, c1]
+            fy = f[:, None, None] if a.ndim == 3 else f[:, None]
+            fx = f[None, :, None] if a.ndim == 3 else f[None, :]
+            return ((a0 * (1 - fx) + a1 * fx) * (1 - fy)
+                    + (a2 * (1 - fx) + a3 * fx) * fy)
+
+        tex[empty] += up(mip_t)[empty]
+        weight[empty] += up(mip_w)[empty]
+        cur //= 2
+
+
 def dilate_texture(tex: np.ndarray, weight: np.ndarray,
                    iterations: int = 16) -> np.ndarray:
     """Fill empty texels from covered neighbours (seam dilation,
@@ -163,6 +204,7 @@ def bake_uv_texture(
     weight = np.zeros((texture_size, texture_size), np.float32)
     H, W = images.shape[1:3]
 
+    all_uv, all_vals, all_w = [], [], []
     for img, w2c in zip(images, w2cs):
         r = rasterize_mesh(verts, faces, w2c, K, H, W)
         mask = (r["face_id"] >= 0) & (r["viewcos"] > viewcos_threshold)
@@ -172,8 +214,16 @@ def bake_uv_texture(
         b = r["bary"][mask]                                 # [N,3]
         uv = (vert_uv[faces[fid]] * b[..., None]).sum(axis=1)
         vals = img[mask]
-        scatter_average(tex, weight, uv, vals,
-                        r["viewcos"][mask].astype(np.float32))
+        w = r["viewcos"][mask].astype(np.float32)
+        scatter_average(tex, weight, uv, vals, w)
+        all_uv.append(uv)
+        all_vals.append(vals)
+        all_w.append(w)
+
+    # mip-mapped fallback for sparse-coverage texels (grid_put.py:129-159)
+    if all_uv:
+        mip_fill(tex, weight, np.concatenate(all_uv),
+                 np.concatenate(all_vals), np.concatenate(all_w))
 
     covered = weight > 1e-6
     tex[covered] /= weight[covered][:, None]

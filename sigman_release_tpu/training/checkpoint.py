@@ -54,10 +54,70 @@ def save_checkpoint(path: str, state: Any) -> None:
     os.replace(tmp, path)
 
 
+def sniff_format(path: str) -> str:
+    """``"safetensors"`` or ``"msgpack"`` from the file's first bytes.
+
+    A safetensors file opens with a u64-LE JSON-header length followed by
+    ``{`` (the reference's torch checkpoints, train_vae.py:216-228); flax
+    msgpack never does (a msgpack map head byte is never preceded by 8
+    length bytes ending in ``{`` at offset 8).
+    """
+    with open(path, "rb") as f:
+        head = f.read(9)
+    if len(head) == 9 and head[8:9] == b"{":
+        n = int.from_bytes(head[:8], "little")
+        if 2 <= n <= os.path.getsize(path):
+            return "safetensors"
+    return "msgpack"
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     """Returns the raw state dict (indexed-dict form)."""
+    if sniff_format(path) == "safetensors":
+        raise ValueError(
+            f"{path} is a torch safetensors checkpoint, not a flax msgpack "
+            "one — load it with load_params_any(path, target_params, cfg) "
+            "or convert it first via scripts/convert_reference_ckpt.py"
+        )
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def load_params_any(path: str, target_params: Any, cfg: Any,
+                    verbose: bool = True) -> Any:
+    """Load model params from EITHER format into ``target_params``'s tree.
+
+    * flax msgpack (ours): tolerant restore of the ``params`` subtree (or
+      the whole tree when the file holds bare params);
+    * torch safetensors (the reference's ``autoencoder.safetensors`` /
+      ``transformer.safetensors`` / ``discriminator.safetensors``): routed
+      through :mod:`sigman_release_tpu.convert` with the model family
+      sniffed from the key names — the reference's Load_VAE flow
+      (/root/reference/core/modules/DiT_utils.py:773-830) as one call.
+    """
+    if sniff_format(path) == "safetensors":
+        from safetensors.numpy import load_file
+
+        from sigman_release_tpu import convert as _convert
+
+        sd = load_file(path)
+        if any(k.startswith("autoencoder.") for k in sd):
+            return _convert.convert_vae(sd, target_params, cfg,
+                                        verbose=verbose)
+        if any(k.startswith("main.") for k in sd):
+            return _convert.convert_disc(sd, target_params, verbose=verbose)
+        return _convert.convert_dit(sd, target_params, cfg.num_layers,
+                                    verbose=verbose)
+    loaded = load_checkpoint(path)
+    if isinstance(loaded, dict) and "params" in loaded:
+        loaded = loaded["params"]
+    # bare params trees were saved from the {'params': ...} level: peel the
+    # target to match if needed
+    tgt = target_params
+    if (isinstance(tgt, dict) and "params" in tgt
+            and not (isinstance(loaded, dict) and "params" in loaded)):
+        return {**tgt, "params": tolerant_restore(tgt["params"], loaded)}
+    return tolerant_restore(tgt, loaded)
 
 
 def tolerant_restore(target: Any, loaded: Dict[str, Any],

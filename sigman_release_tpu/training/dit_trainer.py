@@ -31,7 +31,9 @@ from sigman_release_tpu.parallel.mesh import (
 )
 from sigman_release_tpu.training.checkpoint import (
     load_checkpoint,
+    load_params_any,
     save_checkpoint,
+    sniff_format,
     tolerant_restore,
 )
 
@@ -353,7 +355,18 @@ class DiTTrainer:
         return state
 
     def resume(self, state: DiTTrainState, path: str) -> DiTTrainState:
-        return tolerant_restore(state, load_checkpoint(path))
+        # reference torch safetensors resume straight into params (the
+        # reference's own resume flow, train_vae.py:59-75) — optimizer
+        # state/step stay fresh; msgpack restores the full train state
+        if sniff_format(path) == "safetensors":
+            return state._replace(
+                params=load_params_any(path, state.params, self.cfg))
+        loaded = load_checkpoint(path)
+        if isinstance(loaded, dict) and "step" not in loaded:
+            # bare params tree (e.g. converter --out): params-only resume
+            return state._replace(
+                params=tolerant_restore(state.params, loaded))
+        return tolerant_restore(state, loaded)
 
     # -------------------------------------------------------------- sampling
 

@@ -52,7 +52,9 @@ from sigman_release_tpu.parallel.mesh import (
 from sigman_release_tpu.renderer import GaussianRenderer
 from sigman_release_tpu.training.checkpoint import (
     load_checkpoint,
+    load_params_any,
     save_checkpoint,
+    sniff_format,
     tolerant_restore,
 )
 
@@ -124,6 +126,12 @@ class VAETrainer:
         n_layers = max(1, min(4, int(_math.log2(cfg.output_size)) - 3))
         self.discriminator = PatchDiscriminator(n_layers=n_layers)
         self.lpips = LPIPS()
+        # separate eval backbone (reference evals with LPIPS-alex,
+        # core/loss/eval.py:72); when it differs from the vgg loss net,
+        # lpips_params becomes {"loss": ..., "eval": ...}
+        self._dual_lpips = cfg.eval_lpips_net != "vgg"
+        self.lpips_eval = (LPIPS(net=cfg.eval_lpips_net)
+                           if self._dual_lpips else self.lpips)
         self.loss = VAELoss(
             cfg,
             lpips_apply=self.lpips.apply,
@@ -168,6 +176,13 @@ class VAETrainer:
         if lpips_params is None:
             x = jnp.zeros((1, 3, 64, 64))
             lpips_params = jax.jit(self.lpips.init)(k4, x, x)
+        if self._dual_lpips:
+            lpips_params = {
+                "loss": lpips_params,
+                "eval": jax.jit(self.lpips_eval.init)(
+                    k4, jnp.zeros((1, 3, 64, 64)), jnp.zeros((1, 3, 64, 64))
+                ),
+            }
         state = TrainState(
             params=params,
             logvar=jnp.zeros((), jnp.float32),
@@ -296,9 +311,11 @@ class VAETrainer:
                 params, logvar = diff
                 outputs, posterior = self.forward(params, batch, rng)
                 overflow = outputs.pop("overflow")
+                lp = (lpips_params["loss"] if self._dual_lpips
+                      else lpips_params)
                 loss, logs = self.loss.generator(
                     outputs, posterior, state.step, logvar,
-                    lpips_params=lpips_params, disc_params=state.disc_params,
+                    lpips_params=lp, disc_params=state.disc_params,
                 )
                 logs["psnr"] = psnr(
                     jax.lax.stop_gradient(outputs["images_pred"]),
@@ -382,8 +399,9 @@ class VAETrainer:
                   rng: jax.Array):
         """Posterior-mode eval with the reference's full metric set
         (PSNR + masked PSNR + SSIM + LPIPS, core/loss/eval.py:67-84;
-        LPIPS here is the VGG variant — the alex eval net has no in-env
-        weights). Metrics are pmean'd over the data axis so every host
+        the LPIPS backbone follows cfg.eval_lpips_net — "alex" matches the
+        reference eval exactly, "vgg" reuses the loss net so one set of
+        converted weights covers both). Metrics are pmean'd over the data axis so every host
         logs the identical cross-host value (reference:
         accelerator.gather_for_metrics, train_vae.py:256-257)."""
         from jax.sharding import PartitionSpec as P
@@ -409,8 +427,9 @@ class VAETrainer:
             masked_mse = jnp.mean((pred * mask - gt * mask) ** 2)
             masked_max = jnp.max(pred * mask)
             ssim_v = ssim(flat_p, flat_g)
-            lpips_v = jnp.mean(self.lpips.apply(
-                lpips_params, flat_p * 2.0 - 1.0, flat_g * 2.0 - 1.0
+            lp = lpips_params["eval"] if self._dual_lpips else lpips_params
+            lpips_v = jnp.mean(self.lpips_eval.apply(
+                lp, flat_p * 2.0 - 1.0, flat_g * 2.0 - 1.0
             ))
             if use_axis:
                 mse, masked_mse, ssim_v, lpips_v = jax.lax.pmean(
@@ -539,4 +558,15 @@ class VAETrainer:
         return state
 
     def resume(self, state: TrainState, path: str) -> TrainState:
-        return tolerant_restore(state, load_checkpoint(path))
+        # reference torch safetensors resume straight into params (the
+        # reference's own resume flow, train_vae.py:59-75) — optimizer
+        # state/step stay fresh; msgpack restores the full train state
+        if sniff_format(path) == "safetensors":
+            return state._replace(
+                params=load_params_any(path, state.params, self.cfg))
+        loaded = load_checkpoint(path)
+        if isinstance(loaded, dict) and "step" not in loaded:
+            # bare params tree (e.g. converter --out): params-only resume
+            return state._replace(
+                params=tolerant_restore(state.params, loaded))
+        return tolerant_restore(state, loaded)

@@ -14,7 +14,7 @@ from sigman_release_tpu.training.dit_trainer import DiTTrainer
 CFG = PRESETS["test_tiny"].replace(
     num_views=2, num_input_views=2, batch_size=1,
     num_layers=1, num_attention_heads=2, attention_head_dim=8,
-    text_embed_dim=16, max_text_seq_length=4, time_embed_dim=16,
+    text_embed_dim=16, time_embed_dim=16,
     sample_height=8, sample_width=8,
     lr_scheduler="constant", lr=1e-3,  # warmup lr would be 0 at step 0
 )

@@ -217,3 +217,104 @@ def test_lpips_converter_torch_oracle(tmp_path):
     model = LPIPS()
     out = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(y)))
     np.testing.assert_allclose(out, total.numpy(), rtol=2e-4, atol=1e-6)
+
+
+def test_lpips_alex_converter_torch_oracle(tmp_path):
+    """Same oracle for the alex eval backbone (reference eval uses
+    LPIPS(net='alex'), core/loss/eval.py:72): a torchvision-alexnet-layout
+    .pth + lin weights convert and reproduce a plain-torch replica."""
+    import torch
+    import torch.nn as tnn
+
+    from sigman_release_tpu.losses.lpips import (
+        ALEX_CHANNELS, SCALE, SHIFT, load_lpips_params,
+    )
+
+    torch.manual_seed(0)
+    # torchvision alexnet.features: conv idx 0,3,6,8,10; relu after each;
+    # maxpool3/s2 at idx 2 and 5 (and 12, after the last slice tap)
+    layers = [
+        tnn.Conv2d(3, 64, 11, stride=4, padding=2), tnn.ReLU(),      # 0,1
+        tnn.MaxPool2d(3, 2),                                         # 2
+        tnn.Conv2d(64, 192, 5, padding=2), tnn.ReLU(),               # 3,4
+        tnn.MaxPool2d(3, 2),                                         # 5
+        tnn.Conv2d(192, 384, 3, padding=1), tnn.ReLU(),              # 6,7
+        tnn.Conv2d(384, 256, 3, padding=1), tnn.ReLU(),              # 8,9
+        tnn.Conv2d(256, 256, 3, padding=1), tnn.ReLU(),              # 10,11
+    ]
+    features = tnn.Sequential(*layers).eval()
+    with torch.no_grad():
+        for m in features:
+            if isinstance(m, tnn.Conv2d):
+                m.weight *= 0.1
+    sd = {f"features.{i}.{p}": t for i, m in enumerate(features)
+          for p, t in getattr(m, "state_dict", dict)().items()}
+    alex_path = str(tmp_path / "alexnet.pth")
+    torch.save(sd, alex_path)
+
+    lins = [torch.rand(1, ch, 1, 1) * 0.1 for ch in ALEX_CHANNELS]
+    lin_sd = {f"lin{i}.model.1.weight": w for i, w in enumerate(lins)}
+    lin_path = str(tmp_path / "lins_alex.pth")
+    torch.save(lin_sd, lin_path)
+
+    params = load_lpips_params(alex_path, lin_path, net="alex")
+    assert params is not None
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    y = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+
+    slice_ends = [2, 5, 8, 10, 12]  # positions AFTER each slice's relu
+
+    def t_feats(t):
+        t = (t - torch.as_tensor(SHIFT).view(1, 3, 1, 1)) / \
+            torch.as_tensor(SCALE).view(1, 3, 1, 1)
+        outs, h, prev = [], t, 0
+        for end in slice_ends:
+            for m in layers[prev:end]:
+                h = m(h)
+            outs.append(h)
+            prev = end
+        return outs
+
+    with torch.no_grad():
+        fx = t_feats(torch.as_tensor(x))
+        fy = t_feats(torch.as_tensor(y))
+        total = torch.zeros(2)
+        for fa, fb, w in zip(fx, fy, lins):
+            fa = fa / (fa.square().sum(1, keepdim=True) + 1e-10).sqrt()
+            fb = fb / (fb.square().sum(1, keepdim=True) + 1e-10).sqrt()
+            d = (fa - fb).square()
+            total += (d * w).sum(1).mean((1, 2))
+
+    model = LPIPS(net="alex")
+    out = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(out, total.numpy(), rtol=2e-4, atol=1e-6)
+
+
+def test_eval_lpips_net_alex_wiring():
+    """eval_lpips_net='alex' gives dual lpips params and a finite alex eval
+    metric while the LOSS still runs the vgg net."""
+    from sigman_release_tpu.config import PRESETS
+    from sigman_release_tpu.parallel.mesh import make_mesh, shard_batch
+    from sigman_release_tpu.training.vae_trainer import VAETrainer
+    from sigman_release_tpu.data import DataLoader, SyntheticAvatarDataset
+
+    cfg = PRESETS["test_tiny"].replace(num_views=2, num_input_views=2,
+                                       eval_lpips_net="alex")
+    trainer = VAETrainer(cfg, interpret=True,
+                         mesh=make_mesh((1,), ("data",)))
+    key = jax.random.PRNGKey(0)
+    state, lpips_params = trainer.init_state(key)
+    assert set(lpips_params) == {"loss", "eval"}
+    assert "alex" in lpips_params["eval"]["params"]
+    assert "vgg" in lpips_params["loss"]["params"]
+
+    ds = SyntheticAvatarDataset(cfg, n_items=1)
+    batch = next(iter(DataLoader(ds, batch_size=1, shuffle=False,
+                                 num_workers=1)))
+    sharded = shard_batch(batch, trainer.mesh)
+    metrics, _ = trainer.eval_step(state, sharded, lpips_params, key)
+    assert np.isfinite(float(metrics["lpips"]))
+    state2, logs = trainer.train_step_g(state, sharded, lpips_params, key)
+    assert np.isfinite(float(logs["loss"]))

@@ -118,3 +118,34 @@ def test_dilate_fills_holes():
     w[4, 4] = 1.0
     out = dilate_texture(tex, w, iterations=16)
     assert out.min() >= 0 and out[0, 0].max() > 0  # flood reached the corner
+
+
+def test_mip_fill_sparse_coverage():
+    """Texels no sample hits directly get a coarse-mip estimate (reference
+    grid_put.py:129-159) instead of staying holes for the dilation pass."""
+    from sigman_release_tpu.data.uv_baking import mip_fill, scatter_average
+
+    T = 256
+    rng = np.random.default_rng(0)
+    # 200 samples over the whole atlas: direct scatter covers <1% of texels
+    uv = rng.uniform(0.05, 0.95, (200, 2)).astype(np.float32)
+    vals = np.full((200, 3), 0.7, np.float32)
+    w = np.ones(200, np.float32)
+
+    tex = np.zeros((T, T, 3), np.float32)
+    weight = np.zeros((T, T), np.float32)
+    scatter_average(tex, weight, uv, vals, w)
+    direct_cov = float((weight > 1e-6).mean())
+    assert direct_cov < 0.1
+
+    mip_fill(tex, weight, uv, vals, w)
+    filled_cov = float((weight > 1e-6).mean())
+    assert filled_cov > 5 * direct_cov  # coarse mips reached far more texels
+
+    covered = weight > 1e-6
+    tex[covered] /= weight[covered][:, None]
+    # filled texels carry the (constant) sample color, not zeros
+    interior = tex[T // 4: 3 * T // 4, T // 4: 3 * T // 4]
+    wint = weight[T // 4: 3 * T // 4, T // 4: 3 * T // 4] > 1e-6
+    assert wint.mean() > 0.8
+    np.testing.assert_allclose(interior[wint], 0.7, atol=1e-3)

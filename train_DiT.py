@@ -38,12 +38,15 @@ def main():
         jnp.zeros((1, V, 9, H, H)), jnp.zeros((1, 3, H, H)), k1,
     )
     if cfg.vae_path and os.path.exists(cfg.vae_path):
-        loaded = load_checkpoint(cfg.vae_path)
-        if "params" in loaded:
-            from sigman_release_tpu.training.checkpoint import tolerant_restore
-            vae_params = tolerant_restore(
-                jax.tree.map(lambda x: x, vae_params), loaded["params"]
-            )
+        # format-sniffing load: our msgpack (full state OR bare params) and
+        # the reference's autoencoder.safetensors both work directly
+        from sigman_release_tpu.training.checkpoint import load_params_any
+
+        vae_params = load_params_any(cfg.vae_path, vae_params, cfg)
+    elif cfg.vae_path:
+        print(f"[train_DiT] WARNING: vae_path {cfg.vae_path!r} not found — "
+              "training against a RANDOM frozen VAE (latents are meaningless;"
+              " pass --vae_path to a trained/converted checkpoint)")
     if cfg.sapiens_path and os.path.exists(cfg.sapiens_path):
         # converted real Sapiens-1B weights (scripts/convert_sapiens.py)
         from sigman_release_tpu.models.encoders import sapiens_1b_encoder
@@ -54,8 +57,21 @@ def main():
 
         enc_params = _tr(enc_params, load_checkpoint(cfg.sapiens_path))
     else:
-        encoder = ViTFeatureEncoder(embed_dim=cfg.text_embed_dim)
-        enc_params = encoder.init(k2, jnp.zeros((1, 3, 256, 256)))
+        # no converted Sapiens weights: train at REAL Sapiens-1B geometry
+        # (1536d/40L/24h — not a toy depth) so converted weights drop in
+        # later, and say loudly that conditioning starts untrained
+        # (reference: frozen pretrained Sapiens, train_DiT.py:222-225)
+        print("[train_DiT] WARNING: no --sapiens_path — conditioning "
+              "encoder is randomly initialized at Sapiens-1B geometry; "
+              "convert real weights with scripts/convert_sapiens.py for "
+              "reference-parity conditioning")
+        if cfg.text_embed_dim == 1536:
+            from sigman_release_tpu.models.encoders import sapiens_1b_encoder
+
+            encoder = sapiens_1b_encoder()
+        else:  # small test configs keep a matching-width encoder
+            encoder = ViTFeatureEncoder(embed_dim=cfg.text_embed_dim)
+        enc_params = encoder.init(k2, jnp.zeros((1, 3, 64, 64)))
 
     # decode+deform+render stack for the in-training sampling eval
     # (reference train_DiT.py:417-457): the frozen VAE's decode_uv path
