@@ -56,6 +56,55 @@ PAIR_FEATS = 16
 
 INVALID = jnp.uint32(0xFFFFFFFF)
 
+# compositing alpha floor (renderCUDA's 1/255 cut); pallas_forward imports
+# this — it is ALSO the exact-pair cull rule: a (gaussian, tile) pair whose
+# max alpha over the tile is below the floor contributes exactly zero to
+# image AND gradient, so binning may drop it without changing any output
+ALPHA_MIN = 1.0 / 255.0
+# conservative slack on the q-threshold (power margin 5e-3 — orders of
+# magnitude above the f32 noise between this rect-min and the kernel's
+# per-pixel quadratic evaluation)
+_EXACT_MARGIN = 1e-2
+
+
+def _rect_min_q(mx, my, ca, cb, cc, tx, ty, tile_size):
+    """Exact min of the conic quadratic q(d) = d^T C d over a tile's pixel
+    rectangle (pixel centers [t*ts, t*ts + ts-1]); d = pixel - mean.
+
+    For a PD conic the min is 0 when the mean lies inside the rect,
+    otherwise it is attained on one of the 4 edges, where q restricted to
+    the edge is a 1-D quadratic with a clampable closed-form argmin. This
+    is the ellipse-vs-tile intersection test the bbox span lacks: it culls
+    the ~2/3 of bbox candidates whose ellipse never reaches the tile.
+    """
+    txf = tx.astype(jnp.float32) * tile_size
+    tyf = ty.astype(jnp.float32) * tile_size
+    rx0 = txf - mx
+    rx1 = rx0 + (tile_size - 1.0)
+    ry0 = tyf - my
+    ry1 = ry0 + (tile_size - 1.0)
+
+    cas = jnp.maximum(ca, 1e-12)
+    ccs = jnp.maximum(cc, 1e-12)
+
+    def q(x, y):
+        return (ca * x + 2.0 * cb * y) * x + cc * y * y
+
+    def edge_x(x):                        # x fixed, y free in [ry0, ry1]
+        y = jnp.clip(-cb * x / ccs, ry0, ry1)
+        return q(x, y)
+
+    def edge_y(y):                        # y fixed, x free in [rx0, rx1]
+        x = jnp.clip(-cb * y / cas, rx0, rx1)
+        return q(x, y)
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(rx0), edge_x(rx1)),
+        jnp.minimum(edge_y(ry0), edge_y(ry1)),
+    )
+    inside = (rx0 <= 0.0) & (rx1 >= 0.0) & (ry0 <= 0.0) & (ry1 >= 0.0)
+    return jnp.where(inside, 0.0, qmin)
+
 
 class TileBinning(NamedTuple):
     """Binning result: per-(view, tile) segments + placement ingredients.
@@ -201,12 +250,25 @@ def bin_gaussians(
     )
     view_base = (jnp.arange(v_views, dtype=jnp.int32) * n_tiles)[:, None, None]
 
+    # exact-cull threshold: keep a (gaussian, tile) pair iff some tile pixel
+    # can reach alpha >= ALPHA_MIN, i.e. min_rect q <= 2 log(opa/ALPHA_MIN)
+    opa_v = jnp.where(valid, opacity[None], 0.0)              # [V,N]
+    q_thresh = 2.0 * (jnp.log(jnp.maximum(opa_v, 1e-12))
+                      - float(np.log(ALPHA_MIN))) + _EXACT_MARGIN
+    ca_f = proj.conic[..., 0]
+    cb_f = proj.conic[..., 1]
+    cc_f = proj.conic[..., 2]
+
     # ---- base-window candidates (win x win, every gaussian) ------------------
     li = jnp.arange(a_slots, dtype=jnp.int32)
     tx = x0[..., None] + li % win             # [V,N,a_slots]
     ty = y0[..., None] + li // win
-    cand_ok_a = ((tx < x1a[..., None]) & (ty < y1a[..., None])
-                 & valid[..., None])
+    cand_bbox_a = ((tx < x1a[..., None]) & (ty < y1a[..., None])
+                   & valid[..., None])
+    qmin_a = _rect_min_q(mean_x[..., None], mean_y[..., None],
+                         ca_f[..., None], cb_f[..., None], cc_f[..., None],
+                         tx, ty, tile_size)
+    cand_ok_a = cand_bbox_a & (qmin_a <= q_thresh[..., None])
     tile_id = (view_base + ty * ntx + tx).astype(jnp.uint32)
     keys_a = jnp.where(
         cand_ok_a,
@@ -234,19 +296,32 @@ def bin_gaussians(
     _, sel_sorted = lax.sort((skey, gidx), is_stable=False, num_keys=1)
     sel = sel_sorted.reshape(v_views, n)[:, :k_big]       # [V,K]
     # one packed row gather for all per-gaussian fields (per-field 2-D
-    # take_along_axis lowers to slow scalar-gather paths)
+    # take_along_axis lowers to slow scalar-gather paths); float fields ride
+    # as bitcast int32 lanes
+    def f2i(x):
+        return lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
     packed = jnp.stack(
         [x0, y0, x1, y1,
          lax.bitcast_convert_type(depth_bits, jnp.int32),
-         valid.astype(jnp.int32), x0, y0],
+         valid.astype(jnp.int32),
+         f2i(mean_x), f2i(mean_y), f2i(ca_f), f2i(cb_f), f2i(cc_f),
+         f2i(q_thresh)],
         axis=-1,
-    ).reshape(v_views * n, 8)
+    ).reshape(v_views * n, 12)
     rowsel = (jnp.arange(v_views, dtype=jnp.int32)[:, None] * n
               + sel).reshape(-1)
-    pb = packed[rowsel].reshape(v_views, k_big, 8)
+    pb = packed[rowsel].reshape(v_views, k_big, 12)
     x0b, y0b, x1b, y1b = pb[..., 0], pb[..., 1], pb[..., 2], pb[..., 3]
     depth_bits_b = lax.bitcast_convert_type(pb[..., 4], jnp.uint32)
     valid_b = pb[..., 5] > 0
+
+    def i2f(x):
+        return lax.bitcast_convert_type(x, jnp.float32)
+
+    mxb, myb = i2f(pb[..., 6]), i2f(pb[..., 7])
+    cab, cbb, ccb = i2f(pb[..., 8]), i2f(pb[..., 9]), i2f(pb[..., 10])
+    q_thresh_b = i2f(pb[..., 11])
     x1bc = jnp.minimum(x1b, x0b + big_win)
     y1bc = jnp.minimum(y1b, y0b + big_win)
     lib = jnp.arange(b_slots, dtype=jnp.int32)
@@ -254,9 +329,13 @@ def bin_gaussians(
     txb = x0b[..., None] + lxb                # [V,K,b_slots]
     tyb = y0b[..., None] + lyb
     # exclude the base-window block (emitted by the A set for everyone)
-    cand_ok_b = ((txb < x1bc[..., None]) & (tyb < y1bc[..., None])
-                 & valid_b[..., None]
-                 & ~((lxb < win) & (lyb < win)))
+    cand_bbox_b = ((txb < x1bc[..., None]) & (tyb < y1bc[..., None])
+                   & valid_b[..., None]
+                   & ~((lxb < win) & (lyb < win)))
+    qmin_b = _rect_min_q(mxb[..., None], myb[..., None],
+                         cab[..., None], cbb[..., None], ccb[..., None],
+                         txb, tyb, tile_size)
+    cand_ok_b = cand_bbox_b & (qmin_b <= q_thresh_b[..., None])
     tile_id_b = ((jnp.arange(v_views, dtype=jnp.int32)[:, None, None]
                   * n_tiles) + tyb * ntx + txb).astype(jnp.uint32)
     keys_b = jnp.where(
@@ -289,7 +368,13 @@ def bin_gaussians(
     starts = jnp.searchsorted(keys_s, bounds, side="left").astype(jnp.int32)
     total_valid = jnp.sum(cand_ok).astype(jnp.int32)
     ends = jnp.concatenate([starts[1:], total_valid[None]])
-    overflow = (wanted - total_valid
+    # overflow counts REAL drops only: bbox pairs beyond the emission
+    # windows / K-pool, plus budget clipping. Exactness-culled pairs (bbox
+    # hits whose ellipse misses the tile) are provably zero-contribution,
+    # not drops.
+    emitted_bbox = (jnp.sum(cand_bbox_a) + jnp.sum(cand_bbox_b)) \
+        .astype(jnp.int32)
+    overflow = (wanted - emitted_bbox
                 + jnp.maximum(total_valid - budget, 0))
     start_c = jnp.minimum(starts, budget)
     end_c = jnp.minimum(ends, budget)

@@ -25,11 +25,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sigman_release_tpu.ops.rasterizer.binning import (
-    F_CA, F_CB, F_CC, F_DEPTH, F_MX, F_MY, F_OPA, F_R, PAIR_FEATS,
+    ALPHA_MIN, F_CA, F_CB, F_CC, F_DEPTH, F_MX, F_MY, F_OPA, F_R, PAIR_FEATS,
 )
 
 ALPHA_MAX = 0.99
-ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 
 TILE = 32              # logical pixel tile (32 x 32 = 1024 px)
