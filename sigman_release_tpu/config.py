@@ -33,6 +33,9 @@ class Config:
     self_attention_layers: int = 6  # bottleneck self-attn depth
     vae_attention_heads: int = 8    # bottleneck attention (reference: 8 x 64)
     vae_attention_head_dim: int = 64
+    # bottleneck attention dropout, train-mode only (reference trains its
+    # VAE_CrossAttention stack with 0.1 — autoencoder.py:119)
+    attn_dropout: float = 0.1
     encoder_channels: Tuple[int, ...] = (128, 256, 256, 512)
     decoder_channels: Tuple[int, ...] = (256, 512, 512, 1024)
     uv_query_size: int = 64         # learned UV-query grid (64x64 tokens)

@@ -209,8 +209,10 @@ class MHA(nn.Module):
       the RAW input (residual_connection=True saves it before group_norm).
 
     Submodule names mirror diffusers (to_q/to_k/to_v/to_out/norm_q/norm_k/
-    group_norm/norm_cross) for checkpoint conversion. Attention dropout
-    (reference trains with 0.1) is intentionally omitted.
+    group_norm/norm_cross) for checkpoint conversion. ``dropout`` matches
+    diffusers' placement: after the out projection, before the residual add
+    (the reference bottleneck trains with 0.1 — autoencoder.py:119);
+    inactive unless called with ``deterministic=False``.
     """
 
     dim: int              # query dim
@@ -219,9 +221,10 @@ class MHA(nn.Module):
     context_dim: Optional[int] = None
     norm_context: bool = False
     residual: bool = False
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, deterministic: bool = True):
         inner = self.heads * self.head_dim
         ctx = x if context is None else context
         if self.norm_context and context is not None:
@@ -242,6 +245,8 @@ class MHA(nn.Module):
         out = _sdpa(q.astype(v.dtype), k.astype(v.dtype), v)
         out = out.reshape(*x.shape[:-1], inner)
         out = nn.Dense(self.dim, name="to_out")(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
         if self.residual:
             out = out + x
         return out
@@ -259,16 +264,18 @@ class ConvAttenBlock(nn.Module):
     dim: int
     heads: int
     head_dim: int = 64
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):  # [B, H*W, D]
+    def __call__(self, x, deterministic: bool = True):  # [B, H*W, D]
         b = x.shape[0]
         grid = x.reshape(b, self.height, self.width, self.dim)
         conv_out = nn.Conv(self.dim, (3, 3), padding="SAME",
                            name="conv")(grid)
         conv_out = conv_out.reshape(b, -1, self.dim)
         attn_out = MHA(dim=self.dim, heads=self.heads,
-                       head_dim=self.head_dim, name="attn")(x)
+                       head_dim=self.head_dim, dropout=self.dropout,
+                       name="attn")(x, deterministic=deterministic)
         out = conv_out + attn_out
         out = nn.GroupNorm(num_groups=_num_groups(self.dim), epsilon=1e-6,
                            name="norm")(out)
@@ -335,10 +342,11 @@ class ConvVAE(nn.Module):
         hd = c.vae_attention_head_dim
         self.cross_attn = MHA(dim=2 * d, heads=heads, head_dim=hd,
                               context_dim=d, norm_context=True, residual=True,
+                              dropout=c.attn_dropout,
                               name="attention_cross_attn")
         self.middle = [
             ConvAttenBlock(height=self.h, width=self.w, dim=2 * d,
-                           heads=heads, head_dim=hd,
+                           heads=heads, head_dim=hd, dropout=c.attn_dropout,
                            name=f"attention_middle_layers_{i}")
             for i in range(c.self_attention_layers)
         ]
@@ -347,8 +355,12 @@ class ConvVAE(nn.Module):
                                  block_channels=c.decoder_channels,
                                  name="decoder")
 
-    def encode(self, x, initial_uv) -> DiagonalGaussian:
-        """x [B,V,H,W,9]; initial_uv [B,H,W,3] -> posterior over [B,h,w,Cl]."""
+    def encode(self, x, initial_uv, train: bool = False) -> DiagonalGaussian:
+        """x [B,V,H,W,9]; initial_uv [B,H,W,3] -> posterior over [B,h,w,Cl].
+
+        ``train=True`` activates the bottleneck attention dropout
+        (reference trains with 0.1 — autoencoder.py:119; needs a
+        'dropout' rng in ``apply``)."""
         h = self.encoder(x)                               # [B,V,h,w,D]
         b = h.shape[0]
         d = h.shape[-1]
@@ -366,9 +378,9 @@ class ConvVAE(nn.Module):
              uv], axis=-1,
         )
         query = query + self.pos_embedding[None]
-        attn = self.cross_attn(query, tokens)
+        attn = self.cross_attn(query, tokens, deterministic=not train)
         for layer in self.middle:
-            attn = layer(attn)
+            attn = layer(attn, deterministic=not train)
         proj = self.projection(attn)                      # [B, h*w, 2Cl]
         proj = proj.reshape(b, self.h, self.w, -1)
         mean, logvar = jnp.split(proj, 2, axis=-1)
@@ -378,8 +390,9 @@ class ConvVAE(nn.Module):
         """z [B,h,w,Cl] -> UV feature map [B,H,W,out]."""
         return self.decoder(z)
 
-    def __call__(self, x, initial_uv, rng, sample_posterior: bool = True):
-        posterior = self.encode(x, initial_uv)
+    def __call__(self, x, initial_uv, rng, sample_posterior: bool = True,
+                 train: bool = False):
+        posterior = self.encode(x, initial_uv, train=train)
         z = posterior.sample(rng) if sample_posterior else posterior.mode()
         return self.decode(z), posterior
 
@@ -463,14 +476,18 @@ class VAEModel(nn.Module):
         self.autoencoder = ConvVAE(self.cfg)
         self.heads = GaussianHeads()
 
-    def __call__(self, images, initial_uv, rng, sample_posterior: bool = True):
+    def __call__(self, images, initial_uv, rng, sample_posterior: bool = True,
+                 train: bool = False):
         """images [B,V,9,H,W] (reference layout) -> (attr_map, posterior).
 
         ``sample_posterior=False`` decodes the posterior mode — used by eval
-        so metrics are deterministic (reference eval decodes the mean)."""
+        so metrics are deterministic (reference eval decodes the mean).
+        ``train=True`` enables bottleneck attention dropout (pass a
+        'dropout' rng through ``apply``)."""
         x = jnp.moveaxis(images, 2, -1)                   # NHWC
         uv = jnp.moveaxis(initial_uv, 1, -1)
-        feats, posterior = self.autoencoder(x, uv, rng, sample_posterior)
+        feats, posterior = self.autoencoder(x, uv, rng, sample_posterior,
+                                            train=train)
         return self.heads(feats), posterior
 
     def encode(self, images, initial_uv) -> DiagonalGaussian:

@@ -174,13 +174,19 @@ def regroup_pair_grads(g, payload, total_valid, sel_flat, dims):
     f = g.shape[1]
 
     def slot_sum(x, slots):
-        # contraction with ones + f32 accumulation: sums the window-slot
-        # axis WITHOUT materializing an f32 copy of the gathered stream
-        # (a plain astype(f32).sum() writes the full converted array first)
-        x = x.reshape(-1, slots, f)
-        ones = jnp.ones((slots,), x.dtype)
+        # [R*slots, f] -> [R, slots*f] is a FREE reshape (same row-major
+        # bytes), and the slot reduction is then ONE MXU matmul against a
+        # constant 0/1 fold matrix with f32 accumulation. (A ones-vector
+        # contraction over a [R, slots, f] axis-1 reshape lowered to an f32
+        # convert + column-major relayout + VPU reduce chain — ~1.9 ms at
+        # the V=1 bench — because XLA re-lays-out the gather result it
+        # wants to reduce; the matmul form keeps the gather's own layout.)
+        x2 = x.reshape(-1, slots * f)
+        wi = jax.lax.broadcasted_iota(jnp.int32, (slots * f, f), 0) % f
+        ci = jax.lax.broadcasted_iota(jnp.int32, (slots * f, f), 1)
+        fold = (wi == ci).astype(x.dtype)
         return jax.lax.dot_general(
-            ones, x, (((0,), (1,)), ((), ())),
+            x2, fold, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 

@@ -197,11 +197,11 @@ def _backward_one_tile(
 
         one_m = 1.0 - alpha
         lg = jnp.log(one_m)
-        cum_incl = _cumsum0(lg, cumsum_mode)
-        t_incl = Tf * jnp.exp(cum_incl)
+        cum_excl = _cumsum0(lg, cumsum_mode, exclusive=True)
+        t_excl = Tf * jnp.exp(cum_excl)              # straight off the MXU
+        t_incl = t_excl * one_m
         inv_one_m = 1.0 / one_m                      # one_m >= 0.01: safe
-        t_excl = t_incl * inv_one_m                  # shared reciprocal —
-        contrib = t_incl >= T_EPS                    # (used twice below)
+        contrib = t_incl >= T_EPS
         w = jnp.where(contrib, alpha * t_excl, 0.0)      # [K,PX]
 
         u = jax.lax.dot_general(                          # [K,PX]
@@ -218,10 +218,10 @@ def _backward_one_tile(
         )
 
         # chain to pair parameters; clamp & floor rules gate the gradient.
-        # masked rows (outside [off, off+count)) have live=False -> all
-        # outputs exactly zero, which the carry merge relies on.
-        live = (alpha > 0.0) & unclamped
-        d_pow = jnp.where(live, d_alpha * alpha, 0.0)     # dalpha/dpower = alpha
+        # masked rows (outside [off, off+count)) have alpha == 0, so the
+        # alpha factor alone zeroes them (the carry merge relies on exact
+        # zeros); only the 0.99-clamp needs an explicit gate.
+        d_pow = jnp.where(unclamped, d_alpha * alpha, 0.0)  # dalpha/dpower = alpha
 
         # ONE moment matmul replaces five [K,PX] lane reductions:
         # every d(mean)/d(conic) sum is a polynomial in tile-local pixel

@@ -35,8 +35,9 @@ TILE = 32              # logical pixel tile (32 x 32 = 1024 px)
 PX = TILE * TILE
 
 
-def _cumsum0(x: jnp.ndarray, mode: str = "f32") -> jnp.ndarray:
-    """Inclusive prefix sum along axis 0 as a triangular matmul.
+def _cumsum0(x: jnp.ndarray, mode: str = "f32",
+             exclusive: bool = False) -> jnp.ndarray:
+    """Prefix sum along axis 0 as a triangular matmul.
 
     [K,P] -> [K,P]. Guaranteed Mosaic lowering and runs on the MXU — the
     per-chunk transmittance scan costs one (K,K)@(K,P) matmul. This matmul
@@ -48,17 +49,22 @@ def _cumsum0(x: jnp.ndarray, mode: str = "f32") -> jnp.ndarray:
       bf16 passes with f32 accumulation: ~2^-16 relative rounding per
       element, one fewer MXU pass than f32;
     * ``"bf16"``   — single bf16 pass (~2^-9 relative rounding of x).
+
+    ``exclusive`` uses the strictly-lower triangle (row k sums rows < k):
+    the exclusive transmittance then comes straight off the MXU, replacing
+    the kernels' [K,PX] VPU divide by (1-alpha) with a multiply.
     """
     k = x.shape[0]
     ri = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    cmp = (ci < ri) if exclusive else (ci <= ri)
     if mode == "f32":
-        tri = (ci <= ri).astype(x.dtype)
+        tri = cmp.astype(x.dtype)
         return jax.lax.dot_general(
             tri, x, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    tri = (ci <= ri).astype(jnp.bfloat16)
+    tri = cmp.astype(jnp.bfloat16)
     hi = x.astype(jnp.bfloat16)
     cum = jax.lax.dot_general(
         tri, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -210,9 +216,9 @@ def _forward_one_tile(
 
         one_m = 1.0 - alpha
         lg = jnp.log(one_m)                          # alpha <= 0.99 -> finite
-        cum_incl = _cumsum0(lg, cumsum_mode)         # [K,PX]
-        t_incl = Tf * jnp.exp(cum_incl)
-        t_excl = t_incl / one_m                      # one_m >= 0.01: safe
+        cum_excl = _cumsum0(lg, cumsum_mode, exclusive=True)   # [K,PX]
+        t_excl = Tf * jnp.exp(cum_excl)
+        t_incl = t_excl * one_m                      # no [K,PX] divide
         contrib = t_incl >= T_EPS
         w = jnp.where(contrib, alpha * t_excl, 0.0)  # [K,PX]
 

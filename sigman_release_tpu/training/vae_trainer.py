@@ -242,15 +242,21 @@ class VAETrainer:
         }
 
     def forward(self, params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
-                sample_posterior: bool = True):
-        """Full differentiable forward: images -> rendered views."""
+                sample_posterior: bool = True, train: bool = False):
+        """Full differentiable forward: images -> rendered views.
+
+        ``train=True`` activates the bottleneck attention dropout (0.1,
+        reference autoencoder.py:119) with an rng derived from ``rng`` —
+        the posterior-sampling stream itself is unchanged."""
         cfg = self.cfg
         dtype = (jnp.bfloat16 if cfg.mixed_precision == "bf16"
                  else jnp.float32)
+        rngs = {"dropout": jax.random.fold_in(rng, 1)} if train else None
         attr_map, posterior = self.model.apply(
             self._cast_params(params),
             batch["input"].astype(dtype), batch["UV_inital"].astype(dtype),
-            rng, sample_posterior,
+            rng, sample_posterior, train,
+            rngs=rngs,
         )
         attr_map = attr_map.astype(jnp.float32)
         posterior = type(posterior)(
@@ -309,7 +315,8 @@ class VAETrainer:
 
             def loss_fn(diff):
                 params, logvar = diff
-                outputs, posterior = self.forward(params, batch, rng)
+                outputs, posterior = self.forward(params, batch, rng,
+                                                  train=True)
                 overflow = outputs.pop("overflow")
                 lp = (lpips_params["loss"] if self._dual_lpips
                       else lpips_params)
@@ -364,7 +371,9 @@ class VAETrainer:
         def local_step(state, batch, rng):
             if use_axis:
                 rng = self._fold_rng(rng)
-            outputs, _ = self.forward(state.params, batch, rng)
+            # train-mode re-forward, like the reference's D branch (the
+            # generator stays in torch train mode there too)
+            outputs, _ = self.forward(state.params, batch, rng, train=True)
             outputs = jax.lax.stop_gradient(outputs)
 
             def loss_fn(disc_params):

@@ -176,3 +176,27 @@ def test_timestep_sinusoid_matches_diffusers():
     ref = np.concatenate([np.cos(emb), np.sin(emb)], axis=-1)
     out = np.asarray(timestep_sinusoid(jnp.asarray(t), dim))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_vae_attn_dropout_train_only(vae_setup):
+    """Bottleneck attention dropout (reference autoencoder.py:119, 0.1):
+    train=True + distinct 'dropout' rngs perturb the posterior; the default
+    (eval) path is deterministic and identical to pre-dropout behavior."""
+    model, params = vae_setup
+    key = jax.random.PRNGKey(1)
+    B, V, H = 1, CFG.num_input_views, CFG.input_size
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (B, V, 9, H, H)), jnp.float32
+    )
+    uv = jnp.zeros((B, 3, H, H))
+
+    def post(train, drop_seed):
+        rngs = {"dropout": jax.random.PRNGKey(drop_seed)} if train else None
+        _, p = model.apply(params, images, uv, key, True, train, rngs=rngs)
+        return np.asarray(p.mean)
+
+    e1, e2 = post(False, 0), post(False, 1)
+    np.testing.assert_array_equal(e1, e2)          # eval: deterministic
+    t1, t2 = post(True, 0), post(True, 1)
+    assert np.abs(t1 - t2).max() > 0               # train: rng-dependent
+    assert np.abs(t1 - e1).max() > 0
