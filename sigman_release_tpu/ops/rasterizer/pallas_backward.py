@@ -211,17 +211,18 @@ def _backward_one_tile(
         )
         uw = u * w
         pref_incl = prefix + _cumsum0(uw, cumsum_mode)    # [K,PX]
-        d_alpha = jnp.where(
-            contrib,
-            u * t_excl - (tot2 - pref_incl) * inv_one_m,
+        # d_pow = d_alpha * alpha with d_alpha = u T_excl - (TOT - prefix)
+        # / (1-alpha): multiplying through by alpha reuses uw (= alpha u
+        # T_excl under the contrib mask, exactly 0 elsewhere) so the u
+        # T_excl product is never formed separately. Masked rows (outside
+        # [off, off+count)) have alpha == 0 -> exact zeros, which the carry
+        # merge relies on; only the 0.99-clamp needs an explicit gate.
+        ainv = alpha * inv_one_m
+        d_pow = jnp.where(
+            unclamped,
+            uw - jnp.where(contrib, ainv * (tot2 - pref_incl), 0.0),
             0.0,
         )
-
-        # chain to pair parameters; clamp & floor rules gate the gradient.
-        # masked rows (outside [off, off+count)) have alpha == 0, so the
-        # alpha factor alone zeroes them (the carry merge relies on exact
-        # zeros); only the 0.99-clamp needs an explicit gate.
-        d_pow = jnp.where(unclamped, d_alpha * alpha, 0.0)  # dalpha/dpower = alpha
 
         # ONE moment matmul replaces five [K,PX] lane reductions:
         # every d(mean)/d(conic) sum is a polynomial in tile-local pixel
