@@ -225,7 +225,7 @@ def bin_gaussians(
     assert big_win >= win
     a_slots = win * win
     b_slots = big_win * big_win
-    k_big = max(-(-n // big_frac), 8)         # fallback pool per view
+    k_big = min(n, max(-(-n // big_frac), 8))  # fallback pool per view (<= n)
     if pair_budget is None:
         pair_budget = 5 * n * v_views
     budget = -(-pair_budget // chunk) * chunk

@@ -36,6 +36,11 @@ class RasterizeConfig(NamedTuple):
     chunk: int = 128
     max_tiles_per_gaussian: int = 9
     pair_budget_factor: int = 5
+    # side of the top-K fallback window (tiles): gaussians whose bbox span
+    # exceeds the base window emit their remaining tiles from this second
+    # candidate set; raise it if the overflow log shows real drops (huge
+    # splats early in training, extreme close-ups)
+    big_win: int = 6
     interpret: bool = False
     # backward pair-gradient stream in bf16: ~4x faster gradient regroup
     # (the random row gather from the budget-sized grad table is the
@@ -185,6 +190,7 @@ def rasterize_single(
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         chunk=cfg.chunk,
         pair_budget=cfg.pair_budget_factor * means3d.shape[0] * V,
+        big_win=cfg.big_win,
     )
 
     tiles = _composite(
