@@ -64,6 +64,14 @@ class Config:
     num_views: int = 10
     num_input_views: int = 6
     max_tiles_per_gaussian: int = 36
+    # renderer pair capacity: budget = factor * N * V; big_win is the top-K
+    # fallback window side (> sqrt(max_tiles_per_gaussian) to be active; at
+    # the default it is inactive — the vae_b train graph sits ~150 MB under
+    # the 16 GB chip and the fallback pool's binning temporaries tip it
+    # over). Raise both if the per-step overflow log shows real drops
+    # (typical with randomly-initialized decoders in the first steps).
+    pair_budget_factor: int = 5
+    render_big_win: int = 6
 
     # ---- diffusion sampling --------------------------------------------------
     num_train_timesteps: int = 1000

@@ -340,14 +340,22 @@ class ConvVAE(nn.Module):
         self.pos_embedding = jnp.asarray(sincos_table(self.h * self.w, d * 2))
         heads = c.vae_attention_heads
         hd = c.vae_attention_head_dim
-        self.cross_attn = MHA(dim=2 * d, heads=heads, head_dim=hd,
-                              context_dim=d, norm_context=True, residual=True,
-                              dropout=c.attn_dropout,
-                              name="attention_cross_attn")
+        # the bottleneck attention stack is remat'd: at vae_b scale each
+        # layer's saved activations (4096 tokens x 1024 ch + SDPA heads +
+        # the dropout mask) cost ~40 MB of backward residuals, and the
+        # recompute is ~0.2 ms/layer — the 7 layers together are what tips
+        # the B=1 V=10 train graph over the 16 GB chip otherwise.
+        # static_argnums count self: deterministic is arg 3 (MHA) / 2 (CAB).
+        RMHA = nn.remat(MHA, static_argnums=(3,))
+        RCAB = nn.remat(ConvAttenBlock, static_argnums=(2,))
+        self.cross_attn = RMHA(dim=2 * d, heads=heads, head_dim=hd,
+                               context_dim=d, norm_context=True,
+                               residual=True, dropout=c.attn_dropout,
+                               name="attention_cross_attn")
         self.middle = [
-            ConvAttenBlock(height=self.h, width=self.w, dim=2 * d,
-                           heads=heads, head_dim=hd, dropout=c.attn_dropout,
-                           name=f"attention_middle_layers_{i}")
+            RCAB(height=self.h, width=self.w, dim=2 * d,
+                 heads=heads, head_dim=hd, dropout=c.attn_dropout,
+                 name=f"attention_middle_layers_{i}")
             for i in range(c.self_attention_layers)
         ]
         self.projection = nn.Dense(2 * c.latent_channels, name="projection")
@@ -378,9 +386,10 @@ class ConvVAE(nn.Module):
              uv], axis=-1,
         )
         query = query + self.pos_embedding[None]
-        attn = self.cross_attn(query, tokens, deterministic=not train)
+        # positional (not keyword) deterministic: nn.remat static_argnums
+        attn = self.cross_attn(query, tokens, not train)
         for layer in self.middle:
-            attn = layer(attn, deterministic=not train)
+            attn = layer(attn, not train)
         proj = self.projection(attn)                      # [B, h*w, 2Cl]
         proj = proj.reshape(b, self.h, self.w, -1)
         mean, logvar = jnp.split(proj, 2, axis=-1)

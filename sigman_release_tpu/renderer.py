@@ -46,6 +46,9 @@ class GaussianRenderer:
             tan_half_fovx=math.tan(0.5 * cfg.fovx),
             tan_half_fovy=math.tan(0.5 * cfg.fovy),
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            pair_budget_factor=cfg.pair_budget_factor,
+            big_win=max(cfg.render_big_win,
+                        math.isqrt(cfg.max_tiles_per_gaussian)),
             interpret=interpret,
         )
 

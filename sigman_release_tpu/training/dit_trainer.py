@@ -399,9 +399,17 @@ class DiTTrainer:
                key: jax.Array, num_inference_steps: Optional[int] = None):
         """cond_images [B,3,H,W] -> latents [B,C,h,w] (decoded by caller)."""
         cond = self.encoder.apply(self.encoder_params, cond_images)
+        use_bf16 = self.cfg.mixed_precision == "bf16"
 
         def dit_apply(params, lat, c, t):
-            return self.model.apply(params, lat, c, t)
+            # activations must match the (bf16) params: f32 latents against
+            # bf16 kernels promote EVERY matmul to f32 — ~3x MXU passes.
+            # The scheduler step stays f32 (v cast back on the way out),
+            # mirroring the train step's cast discipline above.
+            if use_bf16:
+                lat = lat.astype(jnp.bfloat16)
+                c = c.astype(jnp.bfloat16)
+            return self.model.apply(params, lat, c, t).astype(jnp.float32)
 
         return self.pipeline.sample_latents(
             dit_apply, state.params, cond, key,
