@@ -210,6 +210,7 @@ def bin_gaussians(
     pair_budget: int | None = None,
     big_win: int = 6,
     big_frac: int = 32,
+    exact_radius: bool = True,
 ) -> TileBinning:
     assert proj.mean2d.ndim == 3, "bin_gaussians wants view-batched projections"
     v_views, n = proj.mean2d.shape[:2]
@@ -234,6 +235,25 @@ def bin_gaussians(
     mean_y = proj.mean2d[..., 1]
     radius = proj.radius
     valid = proj.valid
+    opa_v = jnp.where(valid, opacity[None], 0.0)              # [V,N]
+    # exact-cull threshold (shared with the radius scaling below): keep a
+    # (gaussian, tile) pair iff some tile pixel can reach alpha >= ALPHA_MIN,
+    # i.e. min_rect q <= 2 log(opa/ALPHA_MIN)
+    qt_raw = 2.0 * (jnp.log(jnp.maximum(opa_v, 1e-12))
+                    - float(np.log(ALPHA_MIN)))
+
+    if exact_radius:
+        # opacity-exact cutoff radius. The CUDA preprocess uses a fixed
+        # 3-sigma screen radius, which CLIPS real contributions between
+        # 3 and 3.33 sigma for opaque gaussians (the 1/255 alpha floor is
+        # reached at sqrt(2 ln(255 opa)) sigma) and wastes tiles on dim
+        # ones. Scaling the radius to the exact isocontour makes the output
+        # independent of the tile size and equal to the pure alpha-floor
+        # rule (dense oracle with tile_size=0) — a strict improvement over
+        # the reference's truncation. proj.radius carries ceil(3 sigma), so
+        # the scale keeps its conservative ceil slack.
+        cut = jnp.sqrt(jnp.maximum(qt_raw, 1e-4)) * (1.0 / 3.0)
+        radius = radius * cut
 
     # ---- tile spans ----------------------------------------------------------
     x0 = jnp.clip(jnp.floor((mean_x - radius) / tile_size), 0, ntx)
@@ -256,11 +276,7 @@ def bin_gaussians(
     )
     view_base = (jnp.arange(v_views, dtype=jnp.int32) * n_tiles)[:, None, None]
 
-    # exact-cull threshold: keep a (gaussian, tile) pair iff some tile pixel
-    # can reach alpha >= ALPHA_MIN, i.e. min_rect q <= 2 log(opa/ALPHA_MIN)
-    opa_v = jnp.where(valid, opacity[None], 0.0)              # [V,N]
-    q_thresh = 2.0 * (jnp.log(jnp.maximum(opa_v, 1e-12))
-                      - float(np.log(ALPHA_MIN))) + _EXACT_MARGIN
+    q_thresh = qt_raw + _EXACT_MARGIN
     ca_f = proj.conic[..., 0]
     cb_f = proj.conic[..., 1]
     cc_f = proj.conic[..., 2]
@@ -400,6 +416,17 @@ def bin_gaussians(
          zero, zero, zero, zero, zero, zero],
         axis=-1,
     ).astype(jnp.float32).reshape(v_views * n, PAIR_FEATS)     # [V*N,16]
+
+    # the budget may exceed the total emitted candidate count (small scenes
+    # or generous budgets): pad the sorted prefix with INVALID keys so the
+    # dense stream is always exactly `budget` rows (extra rows place as
+    # zeros and regroup as no-ops)
+    p_total = keys_s.shape[0]
+    if budget > p_total:
+        pad = budget - p_total
+        keys_s = jnp.concatenate(
+            [keys_s, jnp.full((pad,), INVALID, jnp.uint32)])
+        row_s = jnp.concatenate([row_s, jnp.zeros((pad,), jnp.int32)])
 
     return TileBinning(
         feats16=feats16,

@@ -37,7 +37,7 @@ from sigman_release_tpu.ops.rasterizer.binning import (
 )
 from sigman_release_tpu.ops.rasterizer.pallas_forward import (
     PX, TILE, _chunk_alpha, _cumsum0, _pixel_basis, _pixel_coords,
-    tiles_per_program,
+    prog_cap, tiles_per_program,
 )
 
 T_EPS = 1e-4
@@ -58,7 +58,7 @@ def _backward_kernel(
     dpairs_hbm,                      # out: [NC, 16, chunk] f32|bf16, ANY
     chunk_vmem, out_vmem, carry_vmem, state, dma_sem, out_sem,
     *, ntx_per_view, tiles_per_view, chunk, out_dtype, tiles_per_program,
-    cumsum_mode,
+    cumsum_mode, tile,
 ):
     # T tiles per grid program — amortizes the ~4.5us fixed per-program cost
     # (see _forward_kernel); the SMEM carry/emit state machine is already
@@ -71,7 +71,7 @@ def _backward_kernel(
                            grad_ref, dpairs_hbm, chunk_vmem, out_vmem,
                            carry_vmem, state, dma_sem, out_sem,
                            ntx_per_view, tiles_per_view, chunk, out_dtype,
-                           tiles_per_program, cumsum_mode)
+                           tiles_per_program, cumsum_mode, tile)
         return 0
 
     jax.lax.fori_loop(0, tiles_per_program, tile_body, 0)
@@ -81,7 +81,7 @@ def _backward_one_tile(
     t, tt, start_ref, count_ref, pairs_hbm, fwd_ref, grad_ref, dpairs_hbm,
     chunk_vmem, out_vmem, carry_vmem, state, dma_sem, out_sem,
     ntx_per_view, tiles_per_view, chunk, out_dtype, tiles_per_program,
-    cumsum_mode,
+    cumsum_mode, tile,
 ):
     tile_in_view = t % tiles_per_view
     is_last = t == pl.num_programs(0) * tiles_per_program - 1
@@ -91,7 +91,7 @@ def _backward_one_tile(
     off = start % chunk
     end = start + count
     end_unaligned = end % chunk != 0
-    px, py = _pixel_coords(tile_in_view, ntx_per_view)
+    px, py = _pixel_coords(tile_in_view, ntx_per_view, tile)
     # tile-local moment basis (see _pixel_basis): shared by the quadratic
     # power matmul in _chunk_alpha and the d(mean)/d(conic) reductions —
     # five lane reductions become ONE [K,PX]@[PX,8] MXU matmul; tile-local
@@ -272,8 +272,8 @@ def _backward_one_tile(
         c, Tf, _ = st
         return (c < n_chunks) & (jnp.max(Tf) >= T_EPS)
 
-    init = (jnp.int32(0), jnp.ones((1, PX), jnp.float32),
-            jnp.zeros((1, PX), jnp.float32))
+    init = (jnp.int32(0), jnp.ones((1, tile * tile), jnp.float32),
+            jnp.zeros((1, tile * tile), jnp.float32))
     c_end, _, _ = jax.lax.while_loop(cond, body, init)
 
     # drain a prefetched input of an early-terminated loop; skipped chunks
@@ -306,7 +306,7 @@ def _backward_one_tile(
 @functools.partial(
     jax.jit,
     static_argnames=("ntx_per_view", "tiles_per_view", "chunk", "interpret",
-                     "out_bf16", "cumsum_mode"),
+                     "out_bf16", "cumsum_mode", "tile"),
 )
 def backward_tiles(
     pair_feats: jnp.ndarray,    # [NC, 16, chunk]
@@ -321,6 +321,7 @@ def backward_tiles(
     interpret: bool = False,
     out_bf16: bool = False,
     cumsum_mode: str = "f32",
+    tile: int = TILE,
 ):
     """Returns d(pair_feats) [NC, 16, chunk] (f32, or bf16 with ``out_bf16``).
 
@@ -329,8 +330,9 @@ def backward_tiles(
     per-pair gradients round to bf16, downstream sums stay f32.
     """
     out_dtype = jnp.bfloat16 if out_bf16 else jnp.float32
+    px_n = tile * tile
     n_programs = fwd_tiles.shape[0]
-    tpp = tiles_per_program(n_programs)
+    tpp = tiles_per_program(n_programs, cap=prog_cap(tile))
     kernel = functools.partial(
         _backward_kernel,
         ntx_per_view=ntx_per_view,
@@ -339,15 +341,16 @@ def backward_tiles(
         out_dtype=out_dtype,
         tiles_per_program=tpp,
         cumsum_mode=cumsum_mode,
+        tile=tile,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_programs // tpp,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((tpp, 8, PX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpp, 8, px_n), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tpp, 8, PX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpp, 8, px_n), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],

@@ -31,8 +31,8 @@ from sigman_release_tpu.ops.rasterizer.binning import (
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
-TILE = 32              # logical pixel tile (32 x 32 = 1024 px)
-PX = TILE * TILE
+TILE = 32              # default logical pixel tile (32 x 32 = 1024 px)
+PX = TILE * TILE       # kernels take `tile` as a static arg; these are defaults
 
 
 def _cumsum0(x: jnp.ndarray, mode: str = "f32",
@@ -78,13 +78,13 @@ def _cumsum0(x: jnp.ndarray, mode: str = "f32",
     )
 
 
-def _pixel_coords(tile_idx, ntx):
-    """Pixel-center coordinates of this tile as (1, 1024) f32 arrays."""
+def _pixel_coords(tile_idx, ntx, tile):
+    """Pixel-center coordinates of this tile as (1, tile*tile) f32 arrays."""
     tile_x = (tile_idx % ntx).astype(jnp.float32)
     tile_y = (tile_idx // ntx).astype(jnp.float32)
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
-    px = tile_x * TILE + (p % TILE).astype(jnp.float32)
-    py = tile_y * TILE + (p // TILE).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, tile * tile), 1)
+    px = tile_x * tile + (p % tile).astype(jnp.float32)
+    py = tile_y * tile + (p // tile).astype(jnp.float32)
     return px, py
 
 
@@ -146,6 +146,7 @@ def _forward_kernel(
     out_ref,                        # [T, 8, PX] f32 per-program output block
     chunk_vmem, dma_sem,            # scratch
     *, ntx_per_view, tiles_per_view, chunk, tiles_per_program, cumsum_mode,
+    tile,
 ):
     # T tiles per grid program: the fixed per-program cost (prologue, block
     # copies, scalar bookkeeping) measured ~4.5us — at one tile per program
@@ -157,7 +158,7 @@ def _forward_kernel(
         t = tp * tiles_per_program + tt
         _forward_one_tile(t, tt, start_ref, count_ref, pairs_hbm, out_ref,
                           chunk_vmem, dma_sem, ntx_per_view, tiles_per_view,
-                          chunk, cumsum_mode)
+                          chunk, cumsum_mode, tile)
         return 0
 
     jax.lax.fori_loop(0, tiles_per_program, tile_body, 0)
@@ -165,7 +166,7 @@ def _forward_kernel(
 
 def _forward_one_tile(
     t, tt, start_ref, count_ref, pairs_hbm, out_ref, chunk_vmem, dma_sem,
-    ntx_per_view, tiles_per_view, chunk, cumsum_mode,
+    ntx_per_view, tiles_per_view, chunk, cumsum_mode, tile,
 ):
     tile_in_view = t % tiles_per_view
     start = start_ref[t]
@@ -175,7 +176,7 @@ def _forward_one_tile(
     # (px/py computed below; ox/oy/basis feed the quadratic power matmul)
     chunk0 = start // chunk
     off = start % chunk
-    px, py = _pixel_coords(tile_in_view, ntx_per_view)
+    px, py = _pixel_coords(tile_in_view, ntx_per_view, tile)
     ox, oy, basis = _pixel_basis(px, py)
 
     n_chunks = pl.cdiv(off + count, chunk)
@@ -238,8 +239,8 @@ def _forward_one_tile(
         c, Tf, *_ = state
         return (c < n_chunks) & (jnp.max(Tf) >= T_EPS)
 
-    zero = jnp.zeros((1, PX), jnp.float32)
-    ones = jnp.ones((1, PX), jnp.float32)
+    zero = jnp.zeros((1, tile * tile), jnp.float32)
+    ones = jnp.ones((1, tile * tile), jnp.float32)
     init = (jnp.int32(0), ones, ones, zero, zero, zero, zero)
     c_end, Tf, Tr, r, g, b, d = jax.lax.while_loop(cond, body, init)
 
@@ -264,7 +265,7 @@ def _forward_one_tile(
 @functools.partial(
     jax.jit,
     static_argnames=("n_programs", "ntx_per_view", "tiles_per_view", "chunk",
-                     "interpret", "cumsum_mode"),
+                     "interpret", "cumsum_mode", "tile"),
 )
 def forward_tiles(
     pair_feats: jnp.ndarray,   # [P_pad, 16] f32
@@ -277,12 +278,14 @@ def forward_tiles(
     chunk: int = 128,
     interpret: bool = False,
     cumsum_mode: str = "f32",
+    tile: int = TILE,
 ):
-    """Run the tile kernel. Returns [n_programs, 8, PX] raw tile buffers.
+    """Run the tile kernel. Returns [n_programs, 8, tile*tile] raw buffers.
 
     Rows: 0-2 rgb (no background), 3 depth, 4 accumulated alpha, 5 final T.
     """
-    tpp = tiles_per_program(n_programs)
+    px_n = tile * tile
+    tpp = tiles_per_program(n_programs, cap=prog_cap(tile))
     kernel = functools.partial(
         _forward_kernel,
         ntx_per_view=ntx_per_view,
@@ -290,13 +293,14 @@ def forward_tiles(
         chunk=chunk,
         tiles_per_program=tpp,
         cumsum_mode=cumsum_mode,
+        tile=tile,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_programs // tpp,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (tpp, 8, PX), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (tpp, 8, px_n), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, PAIR_FEATS, chunk), jnp.float32),
@@ -305,10 +309,16 @@ def forward_tiles(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_programs, 8, PX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_programs, 8, px_n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_start, tile_count, pair_feats)
+
+
+def prog_cap(tile: int) -> int:
+    """Tiles-per-program cap: hold ~8192 pixels per grid program so the
+    fixed per-program cost stays amortized as the tile size shrinks."""
+    return max(8, 8192 // (tile * tile))
 
 
 def tiles_per_program(n_tiles_total: int, cap: int = 8) -> int:

@@ -55,14 +55,26 @@ class RasterizeConfig(NamedTuple):
     # (single pass, ~2^-9 rounding of log-transmittance / grad prefixes).
     # See pallas_forward._cumsum0 and tests/test_rasterizer_precision.py.
     cumsum_mode: str = "f32"
+    # pixel tile side (16 or 32). Smaller tiles quarter the per-chunk
+    # [K, tile^2] kernel work and stop-saturate at finer granularity, at
+    # the cost of more (gaussian, tile) pairs; max_tiles_per_gaussian /
+    # big_win are in TILES and should widen as the tile shrinks (a 16px
+    # base window covers half the pixels of the 32px one).
+    tile: int = TILE
+    # opacity-exact cutoff radius (binning.bin_gaussians): output becomes
+    # the pure alpha-floor rule, independent of tile size — a strict
+    # improvement over the CUDA preprocess's fixed 3-sigma clip. False
+    # reproduces the reference's 3-sigma tile-rect truncation (pairs with
+    # the dense oracle's default tile_size).
+    exact_radius: bool = True
 
     @property
     def ntx(self) -> int:
-        return -(-self.img_w // TILE)
+        return -(-self.img_w // self.tile)
 
     @property
     def nty(self) -> int:
-        return -(-self.img_h // TILE)
+        return -(-self.img_h // self.tile)
 
     @property
     def n_tiles(self) -> int:
@@ -100,6 +112,7 @@ def _composite(cfg: RasterizeConfig, dims, feats16, keys_prefix,
         chunk=cfg.chunk,
         interpret=cfg.interpret,
         cumsum_mode=cfg.cumsum_mode,
+        tile=cfg.tile,
     )
     return tiles
 
@@ -118,6 +131,7 @@ def _composite_fwd(cfg, dims, feats16, keys_prefix, rowid_prefix, payload,
         chunk=cfg.chunk,
         interpret=cfg.interpret,
         cumsum_mode=cfg.cumsum_mode,
+        tile=cfg.tile,
     )
     res = (pair_feats, payload, total_valid, sel_flat,
            tile_start_f, tile_count_f, tiles)
@@ -140,6 +154,7 @@ def _composite_bwd(cfg, dims, res, g_tiles):
         interpret=cfg.interpret,
         out_bf16=cfg.grad_stream_bf16,
         cumsum_mode=cfg.cumsum_mode,
+        tile=cfg.tile,
     )                                        # [NC, 16, chunk] f32 | bf16
     g_stream = jnp.swapaxes(d_pairs, 1, 2).reshape(
         budget, binning_lib.PAIR_FEATS
@@ -186,11 +201,12 @@ def rasterize_single(
     # pair budget (binning v5 — see binning.py module doc)
     bins = binning_lib.bin_gaussians(
         proj, colors, opacity, cfg.img_h, cfg.img_w,
-        tile_size=TILE,
+        tile_size=cfg.tile,
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         chunk=cfg.chunk,
         pair_budget=cfg.pair_budget_factor * means3d.shape[0] * V,
         big_win=cfg.big_win,
+        exact_radius=cfg.exact_radius,
     )
 
     tiles = _composite(
@@ -212,9 +228,9 @@ def rasterize_single(
 
 def _assemble(tiles: jnp.ndarray, V: int, cfg: RasterizeConfig):
     """[V*n_tiles, 8, PX] -> (rgb [V,3,H,W], depth [V,1,H,W], alpha [V,1,H,W])."""
-    t = tiles.reshape(V, cfg.nty, cfg.ntx, 8, TILE, TILE)
+    t = tiles.reshape(V, cfg.nty, cfg.ntx, 8, cfg.tile, cfg.tile)
     t = jnp.transpose(t, (0, 3, 1, 4, 2, 5))  # [V,8,nty,TILE,ntx,TILE]
-    t = t.reshape(V, 8, cfg.nty * TILE, cfg.ntx * TILE)
+    t = t.reshape(V, 8, cfg.nty * cfg.tile, cfg.ntx * cfg.tile)
     t = t[:, :, : cfg.img_h, : cfg.img_w]
     return t[:, 0:3], t[:, 3:4], t[:, 4:5]
 

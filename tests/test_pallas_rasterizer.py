@@ -47,7 +47,8 @@ def test_forward_matches_dense(seed):
     assert int(out["overflow"]) == 0
     for v in range(cv.shape[0]):
         ref = render_dense(means, cov3d, colors, opa, cv[v], cvp[v],
-                           TH, TH, cfg.img_h, cfg.img_w, bg_color=jnp.ones(3))
+                           TH, TH, cfg.img_h, cfg.img_w, bg_color=jnp.ones(3),
+                           tile_size=0)
         # 5e-5: the kernel evaluates the Gaussian exponent as an expanded
         # quadratic (one MXU matmul, pallas_forward._chunk_alpha) — a few
         # e-5 of f32 rounding vs the oracle's factored form
@@ -85,7 +86,7 @@ def test_backward_matches_dense(grad_bf16, tol):
         tot = 0.0
         for v in range(cv.shape[0]):
             ref = render_dense(m, c, col, o, cv[v], cvp[v], TH, TH, 32, 32,
-                               bg_color=jnp.ones(3))
+                               bg_color=jnp.ones(3), tile_size=0)
             tot += jnp.sum(ref["image"] * g_img[v]) + jnp.sum(
                 ref["alpha"] * g_alpha[v]
             )
@@ -197,3 +198,92 @@ def test_exact_cull_drops_ellipse_missing_tiles():
     # this (extreme, untypical) conditioning — unrelated to the cull
     np.testing.assert_allclose(np.asarray(out["image"][0]),
                                np.asarray(dense["image"]), atol=5e-4)
+
+
+def test_tile16_matches_dense():
+    """RasterizeConfig.tile=16: quarter-size pixel tiles run the same math
+    (per-pixel compositing rules are tile-independent; only the chunk
+    partitioning of the pair stream changes) — image must match the dense
+    oracle to f32-rounding tolerance, like tile=32 does."""
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=96)
+    cfg = _cfg()._replace(tile=16, max_tiles_per_gaussian=16, big_win=10,
+                          pair_budget_factor=8)
+    out = rasterize_single(means, cov3d, colors, opa, cv, cvp,
+                           jnp.ones(3), cfg)
+    assert int(out["overflow"]) == 0
+    for v in range(cv.shape[0]):
+        ref = render_dense(means, cov3d, colors, opa, cv[v], cvp[v],
+                           TH, TH, cfg.img_h, cfg.img_w, bg_color=jnp.ones(3),
+                           tile_size=0)
+        np.testing.assert_allclose(
+            np.asarray(out["image"][v]), np.asarray(ref["image"]),
+            atol=5e-5, rtol=1e-4,
+        )
+
+
+def test_tile16_backward_matches_dense():
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=64)
+    cfg = _cfg(hw=32)._replace(tile=16, max_tiles_per_gaussian=16,
+                               big_win=10, pair_budget_factor=8,
+                               grad_stream_bf16=False)
+    key = jax.random.PRNGKey(0)
+    g_img = jax.random.normal(key, (cv.shape[0], 3, 32, 32))
+
+    def loss_pallas(m, c, col, o):
+        out = rasterize_single(m, c, col, o, cv, cvp, jnp.ones(3), cfg)
+        return jnp.sum(out["image"] * g_img)
+
+    def loss_dense(m, c, col, o):
+        tot = 0.0
+        for v in range(cv.shape[0]):
+            ref = render_dense(m, c, col, o, cv[v], cvp[v], TH, TH, 32, 32,
+                               bg_color=jnp.ones(3), tile_size=0)
+            tot += jnp.sum(ref["image"] * g_img[v])
+        return tot
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(means, cov3d, colors, opa)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(means, cov3d, colors, opa)
+    for name, a, b in zip(["means3d", "cov3d", "colors", "opacity"], gp, gd):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_budget_exceeding_candidates_pads_clean():
+    """pair_budget larger than the total emitted candidate count must pad
+    the stream with INVALID rows, not crash or corrupt placement
+    (regression: reshape error when budget > candidates)."""
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=32)
+    cfg = _cfg(hw=32)._replace(pair_budget_factor=64)
+    out = rasterize_single(means, cov3d, colors, opa, cv, cvp,
+                           jnp.ones(3), cfg)
+    assert int(out["overflow"]) == 0
+    ref = rasterize_single(means, cov3d, colors, opa, cv, cvp, jnp.ones(3),
+                           _cfg(hw=32))
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=1e-6)
+    g = jax.grad(lambda m: jnp.sum(rasterize_single(
+        m, cov3d, colors, opa, cv, cvp, jnp.ones(3), cfg)["image"] ** 2))(means)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_cuda_truncation_mode_matches_rect_oracle():
+    """exact_radius=False reproduces the reference CUDA preprocess's
+    fixed 3-sigma tile-rect truncation exactly (the dense oracle's default
+    tile_size=32 rect rule) — the strict-parity mode for judging against
+    diff_gaussian_rasterization outputs."""
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=96)
+    cfg = _cfg()._replace(exact_radius=False)
+    out = rasterize_single(means, cov3d, colors, opa, cv, cvp,
+                           jnp.ones(3), cfg)
+    assert int(out["overflow"]) == 0
+    for v in range(cv.shape[0]):
+        ref = render_dense(means, cov3d, colors, opa, cv[v], cvp[v],
+                           TH, TH, cfg.img_h, cfg.img_w, bg_color=jnp.ones(3),
+                           tile_size=32)
+        np.testing.assert_allclose(
+            np.asarray(out["image"][v]), np.asarray(ref["image"]),
+            atol=5e-5, rtol=1e-4,
+        )
