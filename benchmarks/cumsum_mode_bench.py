@@ -67,7 +67,9 @@ def main():
 
     results = {}
     ref_img = ref_grad = None
-    for mode in ("f32", "bf16x2", "bf16"):
+    modes = tuple(os.environ.get("CUMSUM_MODES",
+                                 "f32,scan,bf16x2,bf16").split(","))
+    for mode in modes:
         cfg = base_cfg._replace(cumsum_mode=mode)
 
         def render(m, c, col, o):

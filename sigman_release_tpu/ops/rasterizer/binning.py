@@ -301,7 +301,6 @@ def bin_gaussians(
     vn_a = (jnp.arange(v_views, dtype=jnp.int32)[:, None, None] * n
             + jnp.arange(n, dtype=jnp.int32)[None, :, None])      # [V,N,1]
     payload_a = (vn_a * a_slots + li).reshape(-1)
-    rowid_a = jnp.broadcast_to(vn_a, cand_ok_a.shape).reshape(-1)
 
     # ---- fallback candidates (big_win x big_win, top-K spans per view) -------
     # gaussians whose span exceeds the base window get their remaining tiles
@@ -370,18 +369,31 @@ def bin_gaussians(
                  + (jnp.arange(v_views, dtype=jnp.int32)[:, None, None] * k_big
                     + jnp.arange(k_big, dtype=jnp.int32)[None, :, None])
                  * b_slots + lib).reshape(-1)
-    rowid_b = jnp.broadcast_to(
-        (jnp.arange(v_views, dtype=jnp.int32)[:, None] * n + sel)[..., None],
-        cand_ok_b.shape,
-    ).reshape(-1)
 
     keys = jnp.concatenate([keys_a, keys_b])
     payload = jnp.concatenate([payload_a, payload_b])
-    rowid = jnp.concatenate([rowid_a, rowid_b])
     cand_ok = jnp.concatenate([cand_ok_a.reshape(-1), cand_ok_b.reshape(-1)])
-    keys_s, pay_s, row_s = lax.sort(
-        (keys, payload, rowid), is_stable=False, num_keys=1
-    )
+    keys_s, pay_s = lax.sort((keys, payload), is_stable=False, num_keys=1)
+    # the feats row of every sorted slot is DERIVED from the payload
+    # (candidate index encodes (view, gaussian, window-slot) by construction)
+    # instead of riding the sort as a third operand — sort cost is ~linear
+    # in operand count. A-window: row = pay // a_slots; B-window: row =
+    # rowsel[(pay - c_a) // b_slots] (a gather from the tiny [V*K] pool).
+    # (the budget may exceed the total emitted candidate count — small
+    # scenes / generous budgets: pad with INVALID keys so the dense stream
+    # is always exactly `budget` rows; extra rows place as zeros)
+    p_total = keys_s.shape[0]
+    if budget > p_total:
+        pad = budget - p_total
+        keys_s = jnp.concatenate(
+            [keys_s, jnp.full((pad,), INVALID, jnp.uint32)])
+        pay_pref = jnp.concatenate(
+            [pay_s, jnp.zeros((pad,), pay_s.dtype)])[:budget]
+    else:
+        pay_pref = pay_s[:budget]
+    is_a = pay_pref < c_a
+    kk = jnp.clip((pay_pref - c_a) // b_slots, 0, v_views * k_big - 1)
+    row_s = jnp.where(is_a, pay_pref // a_slots, rowsel[kk])
 
     # ---- per-(view, tile) segments (few queries — cheap) ---------------------
     bounds = lax.shift_left(
@@ -417,21 +429,10 @@ def bin_gaussians(
         axis=-1,
     ).astype(jnp.float32).reshape(v_views * n, PAIR_FEATS)     # [V*N,16]
 
-    # the budget may exceed the total emitted candidate count (small scenes
-    # or generous budgets): pad the sorted prefix with INVALID keys so the
-    # dense stream is always exactly `budget` rows (extra rows place as
-    # zeros and regroup as no-ops)
-    p_total = keys_s.shape[0]
-    if budget > p_total:
-        pad = budget - p_total
-        keys_s = jnp.concatenate(
-            [keys_s, jnp.full((pad,), INVALID, jnp.uint32)])
-        row_s = jnp.concatenate([row_s, jnp.zeros((pad,), jnp.int32)])
-
     return TileBinning(
         feats16=feats16,
         keys_prefix=keys_s[:budget],
-        rowid_prefix=row_s[:budget],
+        rowid_prefix=row_s,
         payload=pay_s,
         total_valid=total_valid,
         sel_flat=sel.reshape(-1),

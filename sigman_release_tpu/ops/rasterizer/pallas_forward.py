@@ -53,8 +53,25 @@ def _cumsum0(x: jnp.ndarray, mode: str = "f32",
     ``exclusive`` uses the strictly-lower triangle (row k sums rows < k):
     the exclusive transmittance then comes straight off the MXU, replacing
     the kernels' [K,PX] VPU divide by (1-alpha) with a multiply.
+
+    ``"scan"`` skips the MXU entirely: a Hillis-Steele scan over the
+    sublane axis — log2(K) shifted [K,P] adds on the VPU (~14 elem-ops per
+    element) versus the tri matmul's K MACs per element (128 at chunk=128).
+    Same f32 precision class as the matmul (different association order);
+    A/B'd on-chip by benchmarks/cumsum_mode_bench.py.
     """
     k = x.shape[0]
+    if mode == "scan":
+        if exclusive:                    # shift the stream down one row
+            x = jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+        s = x
+        d = 1
+        while d < k:
+            shifted = jnp.concatenate(
+                [jnp.zeros_like(s[:d]), s[:-d]], axis=0)
+            s = s + shifted
+            d *= 2
+        return s
     ri = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     cmp = (ci < ri) if exclusive else (ci <= ri)

@@ -82,7 +82,11 @@ class RasterizeConfig(NamedTuple):
 
 
 def _place_and_chunk(cfg, dims, feats16, keys_prefix, rowid_prefix):
-    """[V*N,16] rows -> dense chunked pair stream [NC, 16, chunk]."""
+    """[V*N,16] rows -> dense chunked pair stream [NC, 16, chunk].
+
+    (The kernels would prefer row-major [chunk, 16] blocks — that would make
+    this reshape free — but Mosaic requires HBM DMA slices to be 128-aligned
+    in the last dim, so the stream must be transposed to feats-major here.)"""
     budget = dims[-1]
     placed = binning_lib.place_pairs(feats16, keys_prefix, rowid_prefix, dims)
     return jnp.swapaxes(

@@ -51,6 +51,11 @@ def _render_and_grads(mode):
 @pytest.mark.parametrize(
     "mode,img_tol,grad_tol",
     [
+        # scan = full f32, only the association order differs from the tri
+        # matmul (Hillis-Steele tree vs left-to-right): pure f32 rounding
+        # (measured: 3e-6 image, 7.2e-4 normalized grad — the backward's
+        # tot2 - prefix cancellation amplifies reassociation noise)
+        ("scan", 1e-5, 2e-3),
         # measured: 8.5e-6 image, <=1.1e-3 normalized grad (cov3d worst)
         ("bf16x2", 3e-5, 3e-3),
         # measured: 4.5e-3 image, <=5.6e-3 normalized grad
