@@ -148,7 +148,26 @@ def place_pairs(feats16, keys_prefix, rowid_prefix, dims):
     return src[idx]
 
 
-def regroup_pair_grads(g, payload, total_valid, sel_flat, dims):
+def slot_sum_fold(x, slots, f):
+    # [R*slots, f] -> [R, slots*f] is a FREE reshape (same row-major
+    # bytes), and the slot reduction is then ONE MXU matmul against a
+    # constant 0/1 fold matrix with f32 accumulation. (A ones-vector
+    # contraction over a [R, slots, f] axis-1 reshape lowered to an f32
+    # convert + column-major relayout + VPU reduce chain — ~1.9 ms at
+    # the V=1 bench — because XLA re-lays-out the gather result it
+    # wants to reduce; the matmul form keeps the gather's own layout.)
+    x2 = x.reshape(-1, slots * f)
+    wi = jax.lax.broadcasted_iota(jnp.int32, (slots * f, f), 0) % f
+    ci = jax.lax.broadcasted_iota(jnp.int32, (slots * f, f), 1)
+    fold = (wi == ci).astype(x.dtype)
+    return jax.lax.dot_general(
+        x2, fold, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def regroup_pair_grads(g, payload, total_valid, sel_flat, dims,
+                       mode: str = "sort"):
     """Transpose of ``place_pairs``: stream gradients -> d(feats16) [V*N,16].
 
     ``g`` is the pair-gradient stream in sorted order ([budget, 16], f32 OR
@@ -157,10 +176,33 @@ def regroup_pair_grads(g, payload, total_valid, sel_flat, dims):
     always f32). Requires the stream to be exact zeros beyond the valid
     prefix (the backward kernel zero-initializes its output), so no validity
     mask is needed.
+
+    ``mode``: how the sorted stream is routed back to candidate order —
+    * ``"sort"``: invert the sort permutation with one more 1-D sort
+      (payload is a permutation of iota, so sorting it recovers each
+      candidate's sorted position), then one row gather;
+    * ``"scatter"``: one permutation scatter ``zeros.at[payload].set(g)``
+      (indices are unique by construction) — no second sort. Whether this
+      beats the sort depends on how the backend lowers unique-index
+      scatter; A/B'd on-chip, see PERF.md.
     """
     v, n, k_big, a_slots, b_slots, budget = dims
     c_a = v * n * a_slots
     P = payload.shape[0]
+    f = g.shape[1]
+    if mode == "scatter":
+        nvalid = jnp.minimum(total_valid, budget)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (budget,), 0)
+        # clipped/invalid slots all target one dump row past the end
+        tgt = jnp.where(slot < nvalid, payload[:budget], P)
+        d_cand = jnp.zeros((P + 1, f), g.dtype).at[tgt].set(
+            g, unique_indices=True, mode="drop")[:P]
+        d_a = slot_sum_fold(d_cand[:c_a], a_slots, f).reshape(v, n, f)
+        d_b = slot_sum_fold(d_cand[c_a:], b_slots, f).reshape(v, k_big, f)
+        sel = sel_flat.reshape(v, k_big)
+        d_feats = jax.vmap(lambda da, s, db: da.at[s].add(db))(d_a, sel, d_b)
+        return d_feats.reshape(v * n, f)
+
     # payload is a permutation of iota(P): sorting it ascending recovers,
     # for each flat candidate index, its position in the sorted stream
     _, pos = lax.sort(
@@ -171,27 +213,9 @@ def regroup_pair_grads(g, payload, total_valid, sel_flat, dims):
     # of this gather (the dominant backward cost outside the kernel)
     rows = jnp.where(pos < jnp.minimum(total_valid, budget), pos, budget)
     gpad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
-    f = g.shape[1]
 
-    def slot_sum(x, slots):
-        # [R*slots, f] -> [R, slots*f] is a FREE reshape (same row-major
-        # bytes), and the slot reduction is then ONE MXU matmul against a
-        # constant 0/1 fold matrix with f32 accumulation. (A ones-vector
-        # contraction over a [R, slots, f] axis-1 reshape lowered to an f32
-        # convert + column-major relayout + VPU reduce chain — ~1.9 ms at
-        # the V=1 bench — because XLA re-lays-out the gather result it
-        # wants to reduce; the matmul form keeps the gather's own layout.)
-        x2 = x.reshape(-1, slots * f)
-        wi = jax.lax.broadcasted_iota(jnp.int32, (slots * f, f), 0) % f
-        ci = jax.lax.broadcasted_iota(jnp.int32, (slots * f, f), 1)
-        fold = (wi == ci).astype(x.dtype)
-        return jax.lax.dot_general(
-            x2, fold, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    d_a = slot_sum(gpad[rows[:c_a]], a_slots).reshape(v, n, f)    # [V,N,16]
-    d_b = slot_sum(gpad[rows[c_a:]], b_slots).reshape(v, k_big, f)  # [V,K,16]
+    d_a = slot_sum_fold(gpad[rows[:c_a]], a_slots, f).reshape(v, n, f)
+    d_b = slot_sum_fold(gpad[rows[c_a:]], b_slots, f).reshape(v, k_big, f)
     sel = sel_flat.reshape(v, k_big)
     # K is small (n // big_frac): a per-view K-row scatter-add is cheap
     d_feats = jax.vmap(lambda da, s, db: da.at[s].add(db))(d_a, sel, d_b)

@@ -67,6 +67,10 @@ class RasterizeConfig(NamedTuple):
     # reproduces the reference's 3-sigma tile-rect truncation (pairs with
     # the dense oracle's default tile_size).
     exact_radius: bool = True
+    # backward gradient-regroup route: "sort" (invert the binning sort with
+    # a second 1-D sort + row gather) or "scatter" (one unique-index
+    # permutation scatter, no second sort). See binning.regroup_pair_grads.
+    regroup_mode: str = "sort"
 
     @property
     def ntx(self) -> int:
@@ -164,7 +168,8 @@ def _composite_bwd(cfg, dims, res, g_tiles):
         budget, binning_lib.PAIR_FEATS
     )
     d_feats16 = binning_lib.regroup_pair_grads(
-        g_stream, payload, total_valid, sel_flat, dims
+        g_stream, payload, total_valid, sel_flat, dims,
+        mode=cfg.regroup_mode,
     )
     f0 = binning_lib._float0
     return (

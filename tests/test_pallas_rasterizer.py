@@ -287,3 +287,23 @@ def test_cuda_truncation_mode_matches_rect_oracle():
             np.asarray(out["image"][v]), np.asarray(ref["image"]),
             atol=5e-5, rtol=1e-4,
         )
+
+
+def test_regroup_scatter_matches_sort():
+    """regroup_mode='scatter' (one permutation scatter) must produce the
+    same gradients as the default sort-inversion route."""
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=64)
+    g_img = jax.random.normal(jax.random.PRNGKey(2), (cv.shape[0], 3, 32, 32))
+
+    def loss_for(cfg):
+        def loss(m):
+            out = rasterize_single(m, cov3d, colors, opa, cv, cvp,
+                                   jnp.ones(3), cfg)
+            return jnp.sum(out["image"] * g_img)
+        return loss
+
+    base = _cfg(hw=32)._replace(grad_stream_bf16=False)
+    g_sort = jax.grad(loss_for(base))(means)
+    g_scat = jax.grad(loss_for(base._replace(regroup_mode="scatter")))(means)
+    np.testing.assert_allclose(np.asarray(g_scat), np.asarray(g_sort),
+                               atol=1e-6, rtol=1e-6)
