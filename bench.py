@@ -101,7 +101,11 @@ def main():
         f"pair overflow {overflow}: raise the budget/window"
     )
 
-    iters = 10 if not on_cpu else 2
+    # 50 chained iterations: the tunnel charges a fixed ~26-30 ms round
+    # trip PER DISPATCH (measured flat across 1/10/50-iteration chains —
+    # PERF.md round-3b); a longer chain amortizes it so the rate converges
+    # to true device throughput
+    iters = 50 if not on_cpu else 2
 
     # Throughput protocol: the iterations are CHAINED inside one jitted
     # lax.fori_loop as genuine SGD steps (lr so small every f32 update

@@ -43,8 +43,9 @@ from sigman_release_tpu.ops.rasterizer import (
 CONFIGS = {
     "t32_w3": dict(tile=32, max_tiles_per_gaussian=9, big_win=6,
                    pair_budget_factor=5),
-    "t16_w4": dict(tile=16, max_tiles_per_gaussian=16, big_win=10,
-                   pair_budget_factor=8),
+    # 4x4 base overflows at the headline cloud (measured 11k drops — the
+    # exact-radius spans need 5x5); see PERF.md round-3b for the verdict:
+    # 16px tiles lose here (2.1x pairs, 2.9x sort stream)
     "t16_w5": dict(tile=16, max_tiles_per_gaussian=25, big_win=12,
                    pair_budget_factor=8),
 }
