@@ -31,6 +31,13 @@ def main():
                     help="synthetic body verts (~2x faces = gaussians)")
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--trace", default=None, help="xprof trace dir")
+    # renderer pair capacity: the synthetic template's KNN distances are
+    # larger than a real subdivided SMPL-X's, so untrained splats span more
+    # tiles; widen these until the reported overflow is a small fraction of
+    # N*V (the trainers log the same counter every step)
+    ap.add_argument("--pair_budget_factor", type=int, default=None)
+    ap.add_argument("--big_win", type=int, default=None)
+    ap.add_argument("--max_tiles", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -55,6 +62,12 @@ def main():
         num_views=args.views, num_input_views=args.input_views,
         batch_size=args.batch, lambda_lpips=1.0, disc_start=0,
     )
+    if args.pair_budget_factor:
+        cfg = cfg.replace(pair_budget_factor=args.pair_budget_factor)
+    if args.big_win:
+        cfg = cfg.replace(render_big_win=args.big_win)
+    if args.max_tiles:
+        cfg = cfg.replace(max_tiles_per_gaussian=args.max_tiles)
     body = synthetic_body_model(n_verts=args.verts)
     template = synthetic_template(body)
     n_gauss = template.init_pcd.shape[0]
