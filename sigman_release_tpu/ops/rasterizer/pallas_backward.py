@@ -58,7 +58,7 @@ def _backward_kernel(
     dpairs_hbm,                      # out: [NC, 16, chunk] f32|bf16, ANY
     chunk_vmem, out_vmem, carry_vmem, state, dma_sem, out_sem,
     *, ntx_per_view, tiles_per_view, chunk, out_dtype, tiles_per_program,
-    cumsum_mode, tile,
+    cumsum_mode, tile, early_stop,
 ):
     # T tiles per grid program — amortizes the ~4.5us fixed per-program cost
     # (see _forward_kernel); the SMEM carry/emit state machine is already
@@ -71,7 +71,8 @@ def _backward_kernel(
                            grad_ref, dpairs_hbm, chunk_vmem, out_vmem,
                            carry_vmem, state, dma_sem, out_sem,
                            ntx_per_view, tiles_per_view, chunk, out_dtype,
-                           tiles_per_program, cumsum_mode, tile)
+                           tiles_per_program, cumsum_mode, tile,
+                           early_stop)
         return 0
 
     jax.lax.fori_loop(0, tiles_per_program, tile_body, 0)
@@ -81,7 +82,7 @@ def _backward_one_tile(
     t, tt, start_ref, count_ref, pairs_hbm, fwd_ref, grad_ref, dpairs_hbm,
     chunk_vmem, out_vmem, carry_vmem, state, dma_sem, out_sem,
     ntx_per_view, tiles_per_view, chunk, out_dtype, tiles_per_program,
-    cumsum_mode, tile,
+    cumsum_mode, tile, early_stop,
 ):
     tile_in_view = t % tiles_per_view
     is_last = t == pl.num_programs(0) * tiles_per_program - 1
@@ -268,23 +269,31 @@ def _backward_one_tile(
         place_chunk(c, dgrads.T)
         return (c + 1, t_incl[-1:, :], pref_incl[-1:, :])
 
-    def cond(st):
-        c, Tf, _ = st
-        return (c < n_chunks) & (jnp.max(Tf) >= T_EPS)
-
     init = (jnp.int32(0), jnp.ones((1, tile * tile), jnp.float32),
             jnp.zeros((1, tile * tile), jnp.float32))
-    c_end, _, _ = jax.lax.while_loop(cond, body, init)
+    if early_stop:
+        def cond(st):
+            c, Tf, _ = st
+            return (c < n_chunks) & (jnp.max(Tf) >= T_EPS)
 
-    # drain a prefetched input of an early-terminated loop; skipped chunks
-    # need no zero-fill — the output buffer is zero-initialized via
-    # input_output_aliases, and saturated pairs have exactly zero gradient
-    @pl.when(c_end < n_chunks)
-    def _():
-        pltpu.make_async_copy(
-            pairs_hbm.at[chunk0 + c_end], chunk_vmem.at[c_end % 2],
-            dma_sem.at[c_end % 2],
-        ).wait()
+        c_end, _, _ = jax.lax.while_loop(cond, body, init)
+
+        # drain a prefetched input of an early-terminated loop; skipped
+        # chunks need no zero-fill — the output buffer is zero-initialized
+        # via input_output_aliases, and saturated pairs have exactly zero
+        # gradient
+        @pl.when(c_end < n_chunks)
+        def _():
+            pltpu.make_async_copy(
+                pairs_hbm.at[chunk0 + c_end], chunk_vmem.at[c_end % 2],
+                dma_sem.at[c_end % 2],
+            ).wait()
+    else:
+        # branch-free: saturated chunks emit exact-zero gradient blocks
+        # (see pallas_forward for the early-stop cost rationale). NOTE the
+        # carry/emit state machine requires every chunk to be visited, so
+        # this variant also keeps the write stream dense.
+        jax.lax.fori_loop(0, n_chunks, lambda _, st: body(st), init)
 
     # the grid's final program flushes any carry left by preceding tiles
     @pl.when(is_last & (state[_S_CARRY_IDX] >= 0))
@@ -306,7 +315,7 @@ def _backward_one_tile(
 @functools.partial(
     jax.jit,
     static_argnames=("ntx_per_view", "tiles_per_view", "chunk", "interpret",
-                     "out_bf16", "cumsum_mode", "tile"),
+                     "out_bf16", "cumsum_mode", "tile", "early_stop"),
 )
 def backward_tiles(
     pair_feats: jnp.ndarray,    # [NC, 16, chunk]
@@ -322,6 +331,7 @@ def backward_tiles(
     out_bf16: bool = False,
     cumsum_mode: str = "f32",
     tile: int = TILE,
+    early_stop: bool = True,
 ):
     """Returns d(pair_feats) [NC, 16, chunk] (f32, or bf16 with ``out_bf16``).
 
@@ -342,6 +352,7 @@ def backward_tiles(
         tiles_per_program=tpp,
         cumsum_mode=cumsum_mode,
         tile=tile,
+        early_stop=early_stop,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -163,7 +163,7 @@ def _forward_kernel(
     out_ref,                        # [T, 8, PX] f32 per-program output block
     chunk_vmem, dma_sem,            # scratch
     *, ntx_per_view, tiles_per_view, chunk, tiles_per_program, cumsum_mode,
-    tile,
+    tile, early_stop,
 ):
     # T tiles per grid program: the fixed per-program cost (prologue, block
     # copies, scalar bookkeeping) measured ~4.5us — at one tile per program
@@ -175,7 +175,7 @@ def _forward_kernel(
         t = tp * tiles_per_program + tt
         _forward_one_tile(t, tt, start_ref, count_ref, pairs_hbm, out_ref,
                           chunk_vmem, dma_sem, ntx_per_view, tiles_per_view,
-                          chunk, cumsum_mode, tile)
+                          chunk, cumsum_mode, tile, early_stop)
         return 0
 
     jax.lax.fori_loop(0, tiles_per_program, tile_body, 0)
@@ -183,7 +183,7 @@ def _forward_kernel(
 
 def _forward_one_tile(
     t, tt, start_ref, count_ref, pairs_hbm, out_ref, chunk_vmem, dma_sem,
-    ntx_per_view, tiles_per_view, chunk, cumsum_mode, tile,
+    ntx_per_view, tiles_per_view, chunk, cumsum_mode, tile, early_stop,
 ):
     tile_in_view = t % tiles_per_view
     start = start_ref[t]
@@ -252,22 +252,33 @@ def _forward_one_tile(
         return (c + 1, Tf_new, Tr_new,
                 r + acc[0:1], g + acc[1:2], b + acc[2:3], d + acc[4:5])
 
-    def cond(state):
-        c, Tf, *_ = state
-        return (c < n_chunks) & (jnp.max(Tf) >= T_EPS)
-
     zero = jnp.zeros((1, tile * tile), jnp.float32)
     ones = jnp.ones((1, tile * tile), jnp.float32)
     init = (jnp.int32(0), ones, ones, zero, zero, zero, zero)
-    c_end, Tf, Tr, r, g, b, d = jax.lax.while_loop(cond, body, init)
+    if early_stop:
+        def cond(state):
+            c, Tf, *_ = state
+            return (c < n_chunks) & (jnp.max(Tf) >= T_EPS)
 
-    # early termination leaves one prefetched DMA in flight — drain it
-    @pl.when(c_end < n_chunks)
-    def _():
-        pltpu.make_async_copy(
-            pairs_hbm.at[chunk0 + c_end], chunk_vmem.at[c_end % 2],
-            dma_sem.at[c_end % 2],
-        ).wait()
+        c_end, Tf, Tr, r, g, b, d = jax.lax.while_loop(cond, body, init)
+
+        # early termination leaves one prefetched DMA in flight — drain it
+        @pl.when(c_end < n_chunks)
+        def _():
+            pltpu.make_async_copy(
+                pairs_hbm.at[chunk0 + c_end], chunk_vmem.at[c_end % 2],
+                dma_sem.at[c_end % 2],
+            ).wait()
+    else:
+        # branch-free variant: every chunk is processed (saturated chunks
+        # contribute exactly zero via the contrib mask). The early-stop
+        # cond costs a [1,PX] max-reduce + scalar branch sync per chunk
+        # and almost never fires on real scenes (background pixels keep
+        # Tf = 1 forever), so skipping it can win — A/B'd on-chip.
+        def fbody(_, state):
+            return body(state)
+
+        _, Tf, Tr, r, g, b, d = jax.lax.fori_loop(0, n_chunks, fbody, init)
 
     out_ref[tt, 0, :] = r[0]
     out_ref[tt, 1, :] = g[0]
@@ -282,7 +293,7 @@ def _forward_one_tile(
 @functools.partial(
     jax.jit,
     static_argnames=("n_programs", "ntx_per_view", "tiles_per_view", "chunk",
-                     "interpret", "cumsum_mode", "tile"),
+                     "interpret", "cumsum_mode", "tile", "early_stop"),
 )
 def forward_tiles(
     pair_feats: jnp.ndarray,   # [P_pad, 16] f32
@@ -296,6 +307,7 @@ def forward_tiles(
     interpret: bool = False,
     cumsum_mode: str = "f32",
     tile: int = TILE,
+    early_stop: bool = True,
 ):
     """Run the tile kernel. Returns [n_programs, 8, tile*tile] raw buffers.
 
@@ -311,6 +323,7 @@ def forward_tiles(
         tiles_per_program=tpp,
         cumsum_mode=cumsum_mode,
         tile=tile,
+        early_stop=early_stop,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

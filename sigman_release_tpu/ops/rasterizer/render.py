@@ -71,6 +71,12 @@ class RasterizeConfig(NamedTuple):
     # a second 1-D sort + row gather) or "scatter" (one unique-index
     # permutation scatter, no second sort). See binning.regroup_pair_grads.
     regroup_mode: str = "sort"
+    # per-tile early termination once every pixel saturates (T < 1e-4).
+    # The check costs a [1,PX] max-reduce + scalar branch sync per chunk
+    # and cannot fire while any background pixel stays uncovered; False
+    # runs a branch-free fori_loop over all chunks instead (identical
+    # output — saturated chunks contribute exact zeros).
+    early_stop: bool = True
 
     @property
     def ntx(self) -> int:
@@ -121,6 +127,7 @@ def _composite(cfg: RasterizeConfig, dims, feats16, keys_prefix,
         interpret=cfg.interpret,
         cumsum_mode=cfg.cumsum_mode,
         tile=cfg.tile,
+        early_stop=cfg.early_stop,
     )
     return tiles
 
@@ -140,6 +147,7 @@ def _composite_fwd(cfg, dims, feats16, keys_prefix, rowid_prefix, payload,
         interpret=cfg.interpret,
         cumsum_mode=cfg.cumsum_mode,
         tile=cfg.tile,
+        early_stop=cfg.early_stop,
     )
     res = (pair_feats, payload, total_valid, sel_flat,
            tile_start_f, tile_count_f, tiles)
@@ -163,6 +171,7 @@ def _composite_bwd(cfg, dims, res, g_tiles):
         out_bf16=cfg.grad_stream_bf16,
         cumsum_mode=cfg.cumsum_mode,
         tile=cfg.tile,
+        early_stop=cfg.early_stop,
     )                                        # [NC, 16, chunk] f32 | bf16
     g_stream = jnp.swapaxes(d_pairs, 1, 2).reshape(
         budget, binning_lib.PAIR_FEATS
