@@ -62,12 +62,13 @@ def main():
         num_views=args.views, num_input_views=args.input_views,
         batch_size=args.batch, lambda_lpips=1.0, disc_start=0,
     )
-    if args.pair_budget_factor:
-        cfg = cfg.replace(pair_budget_factor=args.pair_budget_factor)
-    if args.big_win:
-        cfg = cfg.replace(render_big_win=args.big_win)
-    if args.max_tiles:
-        cfg = cfg.replace(max_tiles_per_gaussian=args.max_tiles)
+    for name, field in (("pair_budget_factor", "pair_budget_factor"),
+                        ("big_win", "render_big_win"),
+                        ("max_tiles", "max_tiles_per_gaussian")):
+        val = getattr(args, name)
+        if val is not None:
+            assert val > 0, f"--{name} must be positive, got {val}"
+            cfg = cfg.replace(**{field: val})
     body = synthetic_body_model(n_verts=args.verts)
     template = synthetic_template(body)
     n_gauss = template.init_pcd.shape[0]

@@ -28,10 +28,13 @@ The CUDA rasterizer radix-sorts (tile, depth) pairs on-GPU, once per
    ``pair_budget`` bounds all downstream work across all views — per-view
    imbalance is absorbed instead of padded — and anything clipped is
    counted in ``overflow``, never silent),
-5. the placement's custom VJP inverts the sort permutation with one more
-   ``sort`` (payloads are a permutation of iota, so sorting them recovers
-   each candidate's sorted position) — gradients regroup per (view,
-   gaussian) with a gather + reshape-sum. No scatter anywhere.
+5. the placement's custom VJP routes the sorted gradient stream back to
+   candidate order either by inverting the sort permutation with one more
+   ``sort`` + gather (default — payloads are a permutation of iota, so
+   sorting them recovers each candidate's sorted position) or by one
+   unique-index permutation scatter (``regroup_mode='scatter'``); either
+   way gradients then regroup per (view, gaussian) with a reshape + MXU
+   fold matmul.
 
 Replaces the per-view launch loop of
 /root/reference/core/gaussians/gs.py:62-110 (one CUDA rasterizer call per
@@ -137,7 +140,8 @@ def place_pairs(feats16, keys_prefix, rowid_prefix, dims):
     """Gather sorted-prefix pair rows into the dense [budget, 16] stream.
 
     ``rowid_prefix`` carries each sorted slot's flat (view, gaussian) feats
-    row directly (it rode through the binning sort as a second payload), so
+    row directly (derived from the sorted payload after the two-operand
+    sort — the candidate index encodes (view, gaussian, window-slot)), so
     placement is a single masked row gather — no per-row decode. Empty /
     past-stream slots take a zero row.
     """
@@ -193,8 +197,16 @@ def regroup_pair_grads(g, payload, total_valid, sel_flat, dims,
     if mode == "scatter":
         nvalid = jnp.minimum(total_valid, budget)
         slot = jax.lax.broadcasted_iota(jnp.int32, (budget,), 0)
+        # budget may exceed the candidate count P (small scenes / generous
+        # budgets — bin_gaussians pads keys, not the payload): pad the
+        # payload so the [budget]-shaped where is well-formed; padded slots
+        # satisfy slot >= nvalid and route to the dump row anyway
+        pay_b = payload[:budget]
+        if budget > P:
+            pay_b = jnp.concatenate(
+                [payload, jnp.zeros((budget - P,), payload.dtype)])
         # clipped/invalid slots all target one dump row past the end
-        tgt = jnp.where(slot < nvalid, payload[:budget], P)
+        tgt = jnp.where(slot < nvalid, pay_b, P)
         d_cand = jnp.zeros((P + 1, f), g.dtype).at[tgt].set(
             g, unique_indices=True, mode="drop")[:P]
         d_a = slot_sum_fold(d_cand[:c_a], a_slots, f).reshape(v, n, f)

@@ -207,6 +207,10 @@ def rasterize_single(
     cfg: RasterizeConfig,
 ):
     """Render one Gaussian set from V cameras. Returns dict of [V,...] maps."""
+    # Mosaic needs tile*tile % 128 == 0 for the kernels' VMEM output blocks;
+    # fail here with a clear message instead of an opaque lowering error
+    assert cfg.tile in (16, 32), (
+        f"RasterizeConfig.tile must be 16 or 32, got {cfg.tile}")
     V = cam_view.shape[0]
     proj = jax.vmap(
         lambda cv, cvp: project_gaussians(

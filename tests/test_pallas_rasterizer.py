@@ -267,6 +267,13 @@ def test_budget_exceeding_candidates_pads_clean():
     g = jax.grad(lambda m: jnp.sum(rasterize_single(
         m, cov3d, colors, opa, cv, cvp, jnp.ones(3), cfg)["image"] ** 2))(means)
     assert np.isfinite(np.asarray(g)).all()
+    # the scatter regroup route pads the payload to the budget itself
+    # (regression: shape-mismatch trace error when budget > candidates)
+    g_scat = jax.grad(lambda m: jnp.sum(rasterize_single(
+        m, cov3d, colors, opa, cv, cvp, jnp.ones(3),
+        cfg._replace(regroup_mode="scatter"))["image"] ** 2))(means)
+    np.testing.assert_allclose(np.asarray(g_scat), np.asarray(g),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_cuda_truncation_mode_matches_rect_oracle():
