@@ -51,6 +51,10 @@ def main():
     # the vae_b render workload (10 views / same gaussians) instead — the
     # multi-view number also ships in BENCH_r03_v10.json
     views = int(os.environ.get("BENCH_VIEWS", "1"))
+    # BENCH_FWD=1: forward-only (the test_vae / test_DiT serving path —
+    # /root/reference/scripts/test_vae.py:35-116 renders without grads);
+    # prints metric rendered_rays_per_s_fwd_512 instead
+    fwd_only = os.environ.get("BENCH_FWD", "0") == "1"
 
     th = tan_half_fov()
     g = random_gaussians(n_gauss, seed=0, spread=0.4,
@@ -118,12 +122,23 @@ def main():
     # nor a fused training program.
     grad_fn = jax.grad(loss, argnums=(0, 1, 2, 3))
 
-    @jax.jit
-    def sgd_chain(m, c, col, o):
-        def body(_, params):
-            g = grad_fn(*params)
-            return jax.tree.map(lambda p, gg: p - 1e-30 * gg, params, g)
-        return jax.lax.fori_loop(0, iters, body, (m, c, col, o))
+    if fwd_only:
+        # forward chain: feed a loss-scaled no-op update through the means
+        # so iterations stay data-dependent without a backward pass
+        @jax.jit
+        def sgd_chain(m, c, col, o):
+            def body(_, params):
+                m_, c_, col_, o_ = params
+                val = loss(m_, c_, col_, o_)
+                return (m_ + 1e-30 * val, c_, col_, o_)
+            return jax.lax.fori_loop(0, iters, body, (m, c, col, o))
+    else:
+        @jax.jit
+        def sgd_chain(m, c, col, o):
+            def body(_, params):
+                g = grad_fn(*params)
+                return jax.tree.map(lambda p, gg: p - 1e-30 * gg, params, g)
+            return jax.lax.fori_loop(0, iters, body, (m, c, col, o))
 
     out0 = sgd_chain(means, cov3d, colors, opa)
     jax.block_until_ready(out0)
@@ -138,7 +153,8 @@ def main():
 
     rays_per_s = hw * hw * views / dt
     out = {
-        "metric": "rendered_rays_per_s_fwd_bwd_512",
+        "metric": ("rendered_rays_per_s_fwd_512" if fwd_only
+                   else "rendered_rays_per_s_fwd_bwd_512"),
         "value": rays_per_s,
         "unit": "rays/s/chip",
         "vs_baseline": rays_per_s / NOMINAL_BASELINE_RAYS_S,

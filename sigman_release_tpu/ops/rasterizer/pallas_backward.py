@@ -37,7 +37,7 @@ from sigman_release_tpu.ops.rasterizer.binning import (
 )
 from sigman_release_tpu.ops.rasterizer.pallas_forward import (
     PX, TILE, _chunk_alpha, _cumsum0, _pixel_basis, _pixel_coords,
-    prog_cap, tiles_per_program,
+    _trans_excl, prog_cap, tiles_per_program,
 )
 
 T_EPS = 1e-4
@@ -197,9 +197,7 @@ def _backward_one_tile(
         alpha, unclamped = _chunk_alpha(feats, ox, oy, moments, row_ok)
 
         one_m = 1.0 - alpha
-        lg = jnp.log(one_m)
-        cum_excl = _cumsum0(lg, cumsum_mode, exclusive=True)
-        t_excl = Tf * jnp.exp(cum_excl)              # straight off the MXU
+        t_excl = _trans_excl(one_m, Tf, cumsum_mode)
         t_incl = t_excl * one_m
         inv_one_m = 1.0 / one_m                      # one_m >= 0.01: safe
         contrib = t_incl >= T_EPS
@@ -211,7 +209,11 @@ def _backward_one_tile(
             preferred_element_type=jnp.float32,
         )
         uw = u * w
-        pref_incl = prefix + _cumsum0(uw, cumsum_mode)    # [K,PX]
+        # the uw prefix is ADDITIVE — no multiplicative form exists, so
+        # mulscan keeps the f32 tri matmul here (the additive VPU scan
+        # measured slower — PERF.md round-3b)
+        add_mode = "f32" if cumsum_mode == "mulscan" else cumsum_mode
+        pref_incl = prefix + _cumsum0(uw, add_mode)       # [K,PX]
         # d_pow = d_alpha * alpha with d_alpha = u T_excl - (TOT - prefix)
         # / (1-alpha): multiplying through by alpha reuses uw (= alpha u
         # T_excl under the contrib mask, exactly 0 elsewhere) so the u

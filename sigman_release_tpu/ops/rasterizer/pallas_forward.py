@@ -95,6 +95,32 @@ def _cumsum0(x: jnp.ndarray, mode: str = "f32",
     )
 
 
+def _trans_excl(one_m: jnp.ndarray, Tf: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Exclusive transmittance prefix Tf * prod_{j<k}(1 - alpha_j), [K,PX].
+
+    Default route: log -> exclusive tri-matmul cumsum -> exp (the prefix sum
+    rides the MXU). ``mode="mulscan"`` instead runs a MULTIPLICATIVE
+    Hillis-Steele scan over the sublane axis — log2(K) shifted [K,PX]
+    multiplies — deleting BOTH transcendentals (log+exp) AND the tri matmul.
+    The additive VPU scan lost on-chip (Mosaic materializes the shifted adds
+    as relayout copies — PERF.md round-3b), but it kept log+exp; this one
+    removes them too, so it is a separate A/B. Precision: f32 product of
+    <=K factors in (0.01, 1], ~K*2^-24 relative — same class as the f32
+    matmul path (different association order).
+    """
+    if mode != "mulscan":
+        lg = jnp.log(one_m)                          # alpha <= 0.99 -> finite
+        return Tf * jnp.exp(_cumsum0(lg, mode, exclusive=True))
+    k = one_m.shape[0]
+    s = jnp.concatenate([jnp.ones_like(one_m[:1]), one_m[:-1]], axis=0)
+    d = 1
+    while d < k:
+        shifted = jnp.concatenate([jnp.ones_like(s[:d]), s[:-d]], axis=0)
+        s = s * shifted
+        d *= 2
+    return Tf * s
+
+
 def _pixel_coords(tile_idx, ntx, tile):
     """Pixel-center coordinates of this tile as (1, tile*tile) f32 arrays."""
     tile_x = (tile_idx % ntx).astype(jnp.float32)
@@ -233,9 +259,7 @@ def _forward_one_tile(
         alpha, _ = _chunk_alpha(feats, ox, oy, basis, row_ok)
 
         one_m = 1.0 - alpha
-        lg = jnp.log(one_m)                          # alpha <= 0.99 -> finite
-        cum_excl = _cumsum0(lg, cumsum_mode, exclusive=True)   # [K,PX]
-        t_excl = Tf * jnp.exp(cum_excl)
+        t_excl = _trans_excl(one_m, Tf, cumsum_mode)           # [K,PX]
         t_incl = t_excl * one_m                      # no [K,PX] divide
         contrib = t_incl >= T_EPS
         w = jnp.where(contrib, alpha * t_excl, 0.0)  # [K,PX]

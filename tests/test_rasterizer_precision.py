@@ -56,6 +56,9 @@ def _render_and_grads(mode):
         # (measured: 3e-6 image, 7.2e-4 normalized grad — the backward's
         # tot2 - prefix cancellation amplifies reassociation noise)
         ("scan", 1e-5, 2e-3),
+        # mulscan = multiplicative Hillis-Steele transmittance (no log/exp,
+        # no tri matmul): pure f32 reassociation, same class as "scan"
+        ("mulscan", 1e-5, 2e-3),
         # measured: 8.5e-6 image, <=1.1e-3 normalized grad (cov3d worst)
         ("bf16x2", 3e-5, 3e-3),
         # measured: 4.5e-3 image, <=5.6e-3 normalized grad
