@@ -97,6 +97,7 @@ def main():
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             chunk=cfg.chunk,
             pair_budget=cfg.pair_budget_factor * n_gauss * views,
+            per_view_budget=views > 1,  # match rasterize_single's auto mode
         )
         return bins.overflow
 

@@ -71,7 +71,8 @@ def main():
             p, col, o, cfg.img_h, cfg.img_w,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             chunk=cfg.chunk,
-            pair_budget=cfg.pair_budget_factor * n_gauss * V)
+            pair_budget=cfg.pair_budget_factor * n_gauss * V,
+            per_view_budget=V > 1)
 
     @jax.jit
     def full_fwd(m, c, col, o):

@@ -103,6 +103,17 @@ def main():
     }
     sharded = shard_batch(batch, mesh)
 
+    # analytic FLOPs of the lowered G step from XLA's own cost model —
+    # feeds the MFU figure (vs v5e bf16 peak 197 TFLOP/s). AOT-lowered on
+    # the same args; donation/shardings identical to the timed call.
+    g_flops = None
+    try:
+        lowered = trainer.train_step_g.lower(
+            trainer, state, sharded, lpips_params, key)
+        g_flops = lowered.compile().cost_analysis()["flops"]
+    except Exception as e:  # cost model availability varies by backend
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
     t0 = time.time()
     state, logs = trainer.train_step_g(state, sharded, lpips_params, key)
     jax.block_until_ready(state.params)
@@ -133,7 +144,7 @@ def main():
     d_s, state = timed(trainer.train_step_d, state, sharded, key)
 
     rays = args.batch * cfg.num_views * args.size * args.size
-    print(json.dumps({
+    out = {
         "workload": f"vae_b B={args.batch} V={cfg.num_views} "
                     f"{args.size}^2 N={n_gauss} lpips=on",
         "platform": jax.devices()[0].platform,
@@ -144,7 +155,14 @@ def main():
         "d_step_s": round(d_s, 4),
         "rays_per_s_g_step": round(rays / g_s),
         "overflow": float(logs["overflow"]),
-    }))
+    }
+    if g_flops:
+        out["g_flops"] = g_flops
+        # v5e peak: 197 TFLOP/s bf16, 98.5 f32. The G step is mixed
+        # precision (f32 convs / bf16 attention+sampling); report against
+        # the bf16 peak — the lower bound on utilization.
+        out["g_mfu_vs_197tflops_bf16"] = round(g_flops / g_s / 197e12, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -117,38 +117,88 @@ class TileBinning(NamedTuple):
     renderer's single custom-VJP boundary (render._composite) so the
     backward pair-gradient stream can use a narrower dtype internally
     without crossing a custom_vjp cotangent-dtype check.
+
+    Two placement layouts (``dims[-1]``, the static per-view budget ``vb``):
+
+    * ``vb == 0`` (global): the dense stream is the sorted prefix — one
+      global ``pair_budget`` absorbs per-view imbalance, but the backward
+      regroup gathers from the FULL [budget, 16] grad table, which crosses
+      the ~32 MB TPU gather cache cliff for V >~ 4 at avatar scale
+      (measured 1.6 -> 6.6 ns/row, PERF.md);
+    * ``vb > 0`` (per-view regions): each view's pairs are remapped to a
+      fixed chunk-aligned region ``[v*vb, (v+1)*vb)`` of the dense stream,
+      so the regroup gathers per view from a STATIC <= vb-row table slice
+      that stays under the cliff. A view needs > vb pairs -> clipped and
+      counted in ``overflow`` (the global mode would have absorbed it if
+      another view ran light).
     """
 
     feats16: jnp.ndarray       # [V*N, 16] f32 per-(view, gaussian) pair rows
-    keys_prefix: jnp.ndarray   # [budget] u32 sorted keys (INVALID past end)
-    rowid_prefix: jnp.ndarray  # [budget] i32 flat (view, gaussian) feats row
+    feats_big: jnp.ndarray     # [V*K, 16] f32 top-K fallback pool rows (a
+    #                            copy of feats16[rowsel] — placement reads B
+    #                            candidates from it so their row id is pure
+    #                            arithmetic in the payload, no per-slot
+    #                            pool-indirection gather)
+    valid_prefix: jnp.ndarray  # [budget] bool — dense slot holds a real pair
+    pay_prefix: jnp.ndarray    # [budget] i32 dense-slot candidate indices
     payload: jnp.ndarray       # [P] i32 sorted flat candidate indices
     total_valid: jnp.ndarray   # [] i32 valid candidates (<= P)
     sel_flat: jnp.ndarray      # [V*K] i32 per-view fallback gaussian ids
+    seg_bounds: jnp.ndarray    # [V+1] i32 view segment bounds in sorted order
     tile_start: jnp.ndarray    # [V*n_tiles] i32 absolute pair index (NOT
     #                            chunk-aligned — kernels mask partials)
     tile_count: jnp.ndarray    # [V*n_tiles] i32 pairs in the segment
     overflow: jnp.ndarray      # [] i32 — dropped (gaussian, tile) pairs
-    dims: tuple                # static (v, n, k_big, a_slots, b_slots, budget)
+    dims: tuple                # static (v, n, k_big, a_slots, b_slots,
+    #                            budget, vb) — vb == 0 means global layout
 
 
 def _float0(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def place_pairs(feats16, keys_prefix, rowid_prefix, dims):
-    """Gather sorted-prefix pair rows into the dense [budget, 16] stream.
+def place_pairs(feats16, feats_big, valid_prefix, pay_prefix, dims):
+    """Gather dense-slot pair rows into the [budget, 16] stream.
 
-    ``rowid_prefix`` carries each sorted slot's flat (view, gaussian) feats
-    row directly (derived from the sorted payload after the two-operand
-    sort — the candidate index encodes (view, gaussian, window-slot)), so
-    placement is a single masked row gather — no per-row decode. Empty /
-    past-stream slots take a zero row.
+    ``pay_prefix`` carries each dense slot's flat candidate index, which
+    encodes (view, gaussian-or-pool-slot, window-slot) by construction —
+    so the feats row id is PURE ARITHMETIC (A-window: ``pay // a_slots``;
+    B-window: ``n + (pay - c_a) // b_slots`` into the appended ``feats_big``
+    pool copy) that XLA fuses into the gather's index computation. (The
+    previous separate [budget] row-id materializations were the two
+    dominant V=10 ops — 16.6 ms each, xprof round 4: an s32 gather for the
+    dense payload and a pool-indirection gather for B rows.) Empty /
+    past-stream / region-padding slots take the zero row.
+
+    Per-view layout (vb > 0): every slot of region v draws from view v's
+    own [N+K+1, 16] table (slices of feats16/feats_big), so the gathers
+    stay on the fast (<= ~32 MB) gather path — ONE gather from the full
+    [V*N, 16] table crosses the cache cliff at V >~ 4 avatar scale
+    (measured 49.5 ms/iter at V=10, ~20 ns/row — xprof, PERF.md round 4).
     """
-    v, n, k_big, a_slots, b_slots, budget = dims
-    idx = jnp.where(keys_prefix == INVALID, v * n, rowid_prefix)
-    src = jnp.concatenate([feats16, jnp.zeros((1, feats16.shape[1]),
-                                              feats16.dtype)])
+    v, n, k_big, a_slots, b_slots, budget, vb = dims
+    f = feats16.shape[1]
+    c_a = v * n * a_slots
+    zrow = jnp.zeros((1, f), feats16.dtype)
+    is_a = pay_prefix < c_a
+    if vb:
+        rows_a = pay_prefix // a_slots \
+            - (jnp.arange(v, dtype=jnp.int32) * n).repeat(vb)
+        rows_b = (pay_prefix - c_a) // b_slots \
+            - (jnp.arange(v, dtype=jnp.int32) * k_big).repeat(vb) + n
+        rows = jnp.where(valid_prefix, jnp.where(is_a, rows_a, rows_b),
+                         n + k_big).reshape(v, vb)
+        outs = []
+        for vi in range(v):
+            src = jnp.concatenate([
+                feats16[vi * n:(vi + 1) * n],
+                feats_big[vi * k_big:(vi + 1) * k_big], zrow])
+            outs.append(src[rows[vi]])
+        return jnp.concatenate(outs, axis=0)
+    rows = jnp.where(is_a, pay_prefix // a_slots,
+                     v * n + (pay_prefix - c_a) // b_slots)
+    idx = jnp.where(valid_prefix, rows, v * (n + k_big))
+    src = jnp.concatenate([feats16, feats_big, zrow])
     return src[idx]
 
 
@@ -171,17 +221,17 @@ def slot_sum_fold(x, slots, f):
 
 
 def regroup_pair_grads(g, payload, total_valid, sel_flat, dims,
-                       mode: str = "sort"):
+                       mode: str = "sort", seg_bounds=None):
     """Transpose of ``place_pairs``: stream gradients -> d(feats16) [V*N,16].
 
-    ``g`` is the pair-gradient stream in sorted order ([budget, 16], f32 OR
-    bf16 — the dominant cost here is the random row gather from the
+    ``g`` is the pair-gradient stream in dense-slot order ([budget, 16],
+    f32 OR bf16 — the dominant cost here is the random row gather from the
     budget-sized table, and a bf16 table runs ~4x faster on TPU; sums are
-    always f32). Requires the stream to be exact zeros beyond the valid
-    prefix (the backward kernel zero-initializes its output), so no validity
+    always f32). Requires the stream to be exact zeros at non-pair slots
+    (the backward kernel zero-initializes its output), so no validity
     mask is needed.
 
-    ``mode``: how the sorted stream is routed back to candidate order —
+    ``mode``: how the dense stream is routed back to candidate order —
     * ``"sort"``: invert the sort permutation with one more 1-D sort
       (payload is a permutation of iota, so sorting it recovers each
       candidate's sorted position), then one row gather;
@@ -189,11 +239,49 @@ def regroup_pair_grads(g, payload, total_valid, sel_flat, dims,
       (indices are unique by construction) — no second sort. Whether this
       beats the sort depends on how the backend lowers unique-index
       scatter; A/B'd on-chip, see PERF.md.
+
+    Per-view layout (``dims[-1] = vb > 0``, requires ``seg_bounds``): the
+    sorted positions are first converted to view-local region slots, then
+    each view's candidates gather from a STATIC [vb, 16] slice of ``g`` —
+    V small-table gathers on the fast (<= ~32 MB) gather path instead of
+    one gather from the full [budget, 16] table past the cache cliff.
     """
-    v, n, k_big, a_slots, b_slots, budget = dims
+    v, n, k_big, a_slots, b_slots, budget, vb = dims
     c_a = v * n * a_slots
     P = payload.shape[0]
     f = g.shape[1]
+    if vb:
+        assert seg_bounds is not None
+        # sorted position of every candidate (see the "sort" route below)
+        _, pos = lax.sort(
+            (payload, jnp.arange(P, dtype=jnp.int32)), is_stable=False,
+            num_keys=1,
+        )
+        seg_start = seg_bounds[:v]                         # [V]
+        seg_len = seg_bounds[1:] - seg_bounds[:-1]         # [V]
+        lim = jnp.minimum(seg_len, vb)
+        # candidates are view-major in BOTH windows, so a [V, .] reshape
+        # lines each row up with its view; valid candidates of view v sit
+        # at sorted positions [seg_start[v], seg_start[v] + seg_len[v]),
+        # invalid ones at >= total_valid >= any seg end — so the single
+        # test local < lim routes invalid AND region-clipped rows to the
+        # per-slice pad row vb
+        loc_a = pos[:c_a].reshape(v, n * a_slots) - seg_start[:, None]
+        rows_a = jnp.where(loc_a < lim[:, None], loc_a, vb)
+        loc_b = pos[c_a:].reshape(v, k_big * b_slots) - seg_start[:, None]
+        rows_b = jnp.where(loc_b < lim[:, None], loc_b, vb)
+        zrow = jnp.zeros((1, f), g.dtype)
+        sel = sel_flat.reshape(v, k_big)
+        outs = []
+        for vi in range(v):
+            # static slice: the gather operand is a [vb+1, 16] table that
+            # stays under the gather cache cliff (the concat materializes
+            # it — XLA cannot fold the slice back into the big buffer)
+            gv = jnp.concatenate([g[vi * vb:(vi + 1) * vb], zrow])
+            da = slot_sum_fold(gv[rows_a[vi]], a_slots, f)     # [n, f]
+            db = slot_sum_fold(gv[rows_b[vi]], b_slots, f)     # [k_big, f]
+            outs.append(da.at[sel[vi]].add(db))
+        return jnp.stack(outs).reshape(v * n, f)
     if mode == "scatter":
         nvalid = jnp.minimum(total_valid, budget)
         slot = jax.lax.broadcasted_iota(jnp.int32, (budget,), 0)
@@ -247,7 +335,11 @@ def bin_gaussians(
     big_win: int = 6,
     big_frac: int = 32,
     exact_radius: bool = True,
+    per_view_budget: bool = False,
 ) -> TileBinning:
+    """``per_view_budget``: split ``pair_budget`` into V fixed chunk-aligned
+    regions of the dense stream (one per view) instead of one shared global
+    prefix — see TileBinning's layout note for the gather-cliff rationale."""
     assert proj.mean2d.ndim == 3, "bin_gaussians wants view-batched projections"
     v_views, n = proj.mean2d.shape[:2]
     ntx = -(-img_w // tile_size)
@@ -265,7 +357,12 @@ def bin_gaussians(
     k_big = min(n, max(-(-n // big_frac), 8))  # fallback pool per view (<= n)
     if pair_budget is None:
         pair_budget = 5 * n * v_views
-    budget = -(-pair_budget // chunk) * chunk
+    if per_view_budget:
+        vb = -(-(pair_budget // v_views) // chunk) * chunk
+        budget = vb * v_views
+    else:
+        vb = 0
+        budget = -(-pair_budget // chunk) * chunk
 
     mean_x = proj.mean2d[..., 0]              # [V,N]
     mean_y = proj.mean2d[..., 1]
@@ -415,41 +512,69 @@ def bin_gaussians(
     # instead of riding the sort as a third operand — sort cost is ~linear
     # in operand count. A-window: row = pay // a_slots; B-window: row =
     # rowsel[(pay - c_a) // b_slots] (a gather from the tiny [V*K] pool).
-    # (the budget may exceed the total emitted candidate count — small
-    # scenes / generous budgets: pad with INVALID keys so the dense stream
-    # is always exactly `budget` rows; extra rows place as zeros)
-    p_total = keys_s.shape[0]
-    if budget > p_total:
-        pad = budget - p_total
-        keys_s = jnp.concatenate(
-            [keys_s, jnp.full((pad,), INVALID, jnp.uint32)])
-        pay_pref = jnp.concatenate(
-            [pay_s, jnp.zeros((pad,), pay_s.dtype)])[:budget]
-    else:
-        pay_pref = pay_s[:budget]
-    is_a = pay_pref < c_a
-    kk = jnp.clip((pay_pref - c_a) // b_slots, 0, v_views * k_big - 1)
-    row_s = jnp.where(is_a, pay_pref // a_slots, rowsel[kk])
-
     # ---- per-(view, tile) segments (few queries — cheap) ---------------------
+    p_total = keys_s.shape[0]
     bounds = lax.shift_left(
         jnp.arange(total_tiles, dtype=jnp.uint32), jnp.uint32(db)
     )
     starts = jnp.searchsorted(keys_s, bounds, side="left").astype(jnp.int32)
     total_valid = jnp.sum(cand_ok).astype(jnp.int32)
     ends = jnp.concatenate([starts[1:], total_valid[None]])
+    seg_bounds = jnp.concatenate(
+        [starts[0::n_tiles], total_valid[None]])              # [V+1]
     # overflow counts REAL drops only: bbox pairs beyond the emission
     # windows / K-pool, plus budget clipping. Exactness-culled pairs (bbox
     # hits whose ellipse misses the tile) are provably zero-contribution,
     # not drops.
     emitted_bbox = (jnp.sum(cand_bbox_a) + jnp.sum(cand_bbox_b)) \
         .astype(jnp.int32)
-    overflow = (wanted - emitted_bbox
-                + jnp.maximum(total_valid - budget, 0))
-    start_c = jnp.minimum(starts, budget)
-    end_c = jnp.minimum(ends, budget)
-    tile_start = start_c
-    tile_count = end_c - start_c
+    overflow_base = wanted - emitted_bbox
+
+    if per_view_budget:
+        # dense stream = V fixed chunk-aligned regions; view v's sorted
+        # segment [seg_start, seg_start+seg_len) maps to [v*vb, v*vb+lim).
+        # Region slots are CONTIGUOUS in sorted order, so the dense payload
+        # is V dynamic slices — NOT a gather (a [budget] s32 gather here
+        # measured 16.6 ms at V=10, the single biggest glue op; xprof
+        # round 4). pay_s is padded by vb so no window needs the
+        # out-of-bounds start clamp (which would silently shift valid rows).
+        seg_start = seg_bounds[:v_views]
+        seg_len = seg_bounds[1:] - seg_bounds[:-1]
+        lim = jnp.minimum(seg_len, vb)
+        li_vb = jnp.arange(vb, dtype=jnp.int32)[None, :]       # [1, vb]
+        valid_prefix = (li_vb < lim[:, None]).reshape(-1)
+        pay_pad = jnp.concatenate([pay_s, jnp.zeros((vb,), pay_s.dtype)])
+        pay_pref = jnp.concatenate([
+            lax.dynamic_slice(pay_pad, (seg_start[vi],), (vb,))
+            for vi in range(v_views)
+        ])                                                     # [budget]
+        overflow = overflow_base + jnp.sum(jnp.maximum(seg_len - vb, 0))
+        # remap tile segments into their view's region
+        seg_start_t = jnp.repeat(seg_start, n_tiles)
+        lim_t = jnp.repeat(lim, n_tiles)
+        base_t = jnp.repeat(jnp.arange(v_views, dtype=jnp.int32) * vb,
+                            n_tiles)
+        ls = jnp.clip(starts - seg_start_t, 0, lim_t)
+        le = jnp.clip(ends - seg_start_t, 0, lim_t)
+        tile_start = base_t + ls
+        tile_count = le - ls
+    else:
+        # (the budget may exceed the total emitted candidate count — small
+        # scenes / generous budgets: pad with INVALID keys so the dense
+        # stream is always exactly `budget` rows; extra rows place as zeros)
+        keys_pref = keys_s[:budget]
+        if budget > p_total:
+            pad = budget - p_total
+            keys_pref = jnp.concatenate(
+                [keys_s, jnp.full((pad,), INVALID, jnp.uint32)])
+            pay_pref = jnp.concatenate(
+                [pay_s, jnp.zeros((pad,), pay_s.dtype)])[:budget]
+        else:
+            pay_pref = pay_s[:budget]
+        valid_prefix = keys_pref != INVALID
+        overflow = overflow_base + jnp.maximum(total_valid - budget, 0)
+        tile_start = jnp.minimum(starts, budget)
+        tile_count = jnp.minimum(ends, budget) - tile_start
 
     # ---- pair feature rows (one gather) ---------------------------------------
     colb = jnp.broadcast_to(colors[None], (v_views, n, 3))
@@ -467,13 +592,15 @@ def bin_gaussians(
 
     return TileBinning(
         feats16=feats16,
-        keys_prefix=keys_s[:budget],
-        rowid_prefix=row_s,
+        feats_big=feats16[rowsel],
+        valid_prefix=valid_prefix,
+        pay_prefix=pay_pref,
         payload=pay_s,
         total_valid=total_valid,
         sel_flat=sel.reshape(-1),
+        seg_bounds=seg_bounds,
         tile_start=tile_start,
         tile_count=tile_count,
         overflow=overflow,
-        dims=(v_views, n, k_big, a_slots, b_slots, budget),
+        dims=(v_views, n, k_big, a_slots, b_slots, budget, vb),
     )

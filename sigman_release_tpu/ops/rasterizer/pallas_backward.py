@@ -58,7 +58,7 @@ def _backward_kernel(
     dpairs_hbm,                      # out: [NC, 16, chunk] f32|bf16, ANY
     chunk_vmem, out_vmem, carry_vmem, state, dma_sem, out_sem,
     *, ntx_per_view, tiles_per_view, chunk, out_dtype, tiles_per_program,
-    cumsum_mode, tile, early_stop,
+    cumsum_mode, tile, early_stop, view_regions,
 ):
     # T tiles per grid program — amortizes the ~4.5us fixed per-program cost
     # (see _forward_kernel); the SMEM carry/emit state machine is already
@@ -72,7 +72,7 @@ def _backward_kernel(
                            carry_vmem, state, dma_sem, out_sem,
                            ntx_per_view, tiles_per_view, chunk, out_dtype,
                            tiles_per_program, cumsum_mode, tile,
-                           early_stop)
+                           early_stop, view_regions)
         return 0
 
     jax.lax.fori_loop(0, tiles_per_program, tile_body, 0)
@@ -82,10 +82,20 @@ def _backward_one_tile(
     t, tt, start_ref, count_ref, pairs_hbm, fwd_ref, grad_ref, dpairs_hbm,
     chunk_vmem, out_vmem, carry_vmem, state, dma_sem, out_sem,
     ntx_per_view, tiles_per_view, chunk, out_dtype, tiles_per_program,
-    cumsum_mode, tile, early_stop,
+    cumsum_mode, tile, early_stop, view_regions,
 ):
     tile_in_view = t % tiles_per_view
     is_last = t == pl.num_programs(0) * tiles_per_program - 1
+    if view_regions:
+        # per-view placement regions (binning per_view_budget): regions are
+        # chunk-aligned, so no tile of view v+1 ever touches view v's
+        # chunks — a view's LAST tile must emit its unaligned tail instead
+        # of holding it for a merge that would never come. (Only the hold
+        # rule changes: the final-program carry flush / DMA drain below
+        # must keep firing exactly once, at the true last program.)
+        no_hold = is_last | (tile_in_view == tiles_per_view - 1)
+    else:
+        no_hold = is_last
     start = start_ref[t]
     count = count_ref[t]
     chunk0 = start // chunk
@@ -165,7 +175,7 @@ def _backward_one_tile(
         carry_idx = state[_S_CARRY_IDX]
         is_merge = ci == carry_idx
         data = dT + jnp.where(is_merge, carry_vmem[0], 0.0)
-        hold = (c == n_chunks - 1) & end_unaligned & jnp.logical_not(is_last)
+        hold = (c == n_chunks - 1) & end_unaligned & jnp.logical_not(no_hold)
 
         @pl.when(hold)
         def _():
@@ -317,7 +327,8 @@ def _backward_one_tile(
 @functools.partial(
     jax.jit,
     static_argnames=("ntx_per_view", "tiles_per_view", "chunk", "interpret",
-                     "out_bf16", "cumsum_mode", "tile", "early_stop"),
+                     "out_bf16", "cumsum_mode", "tile", "early_stop",
+                     "view_regions"),
 )
 def backward_tiles(
     pair_feats: jnp.ndarray,    # [NC, 16, chunk]
@@ -334,6 +345,7 @@ def backward_tiles(
     cumsum_mode: str = "f32",
     tile: int = TILE,
     early_stop: bool = True,
+    view_regions: bool = False,
 ):
     """Returns d(pair_feats) [NC, 16, chunk] (f32, or bf16 with ``out_bf16``).
 
@@ -355,6 +367,7 @@ def backward_tiles(
         cumsum_mode=cumsum_mode,
         tile=tile,
         early_stop=early_stop,
+        view_regions=view_regions,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

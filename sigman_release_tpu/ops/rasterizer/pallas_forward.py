@@ -30,6 +30,10 @@ from sigman_release_tpu.ops.rasterizer.binning import (
 
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
+# positive-power tolerance of the expanded-basis exponent matmul (see
+# _chunk_alpha): ~100x its measured f32 rounding scale, orders below any
+# real conic-PSD violation
+POWER_EPS = 1e-3
 
 TILE = 32              # default logical pixel tile (32 x 32 = 1024 px)
 PX = TILE * TILE       # kernels take `tile` as a static arg; these are defaults
@@ -175,9 +179,18 @@ def _chunk_alpha(feats, ox, oy, basis, row_ok):
         coeffs, basis, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    g = jnp.exp(power)
+    # f32 cancellation in the expanded-basis matmul can leave power at +eps
+    # exactly where the true quadratic is ~0: a pixel ON the mean, where
+    # alpha is LARGEST. The CUDA-style guard `power > 0 -> skip` is only
+    # safe for direct d = pixel - mean evaluation (q >= 0 by construction);
+    # here it dropped a 0.74-alpha gaussian at its own mean pixel (round-4
+    # verify drive). Clamp the exponent instead (alpha <= opa stays
+    # bounded; the error vs the true tiny-negative power is <= POWER_EPS)
+    # and keep the hard drop only for grossly positive power (broken
+    # conics), far above the matmul's rounding scale.
+    g = jnp.exp(jnp.minimum(power, 0.0))
     raw = opa * g
-    live = row_ok & (power <= 0.0)
+    live = row_ok & (power <= POWER_EPS)
     alpha = jnp.where(live & (raw >= ALPHA_MIN), jnp.minimum(raw, ALPHA_MAX), 0.0)
     unclamped = raw < ALPHA_MAX                    # gradient mask for the clamp
     return alpha, unclamped

@@ -70,7 +70,15 @@ class RasterizeConfig(NamedTuple):
     # backward gradient-regroup route: "sort" (invert the binning sort with
     # a second 1-D sort + row gather) or "scatter" (one unique-index
     # permutation scatter, no second sort). See binning.regroup_pair_grads.
+    # Ignored under per-view regions (which have their own segmented route).
     regroup_mode: str = "sort"
+    # pair-stream layout: None = auto (per-view regions when V > 1, global
+    # otherwise). Per-view regions split the pair budget into V fixed
+    # chunk-aligned regions so the backward regroup gathers from static
+    # <= 32 MB table slices (the V >= 4 global-table gather crosses the TPU
+    # gather cache cliff — the round-3 V=10 regression, PERF.md round 4);
+    # global keeps one shared budget that absorbs per-view pair imbalance.
+    per_view_budget: bool | None = None
     # per-tile early termination once every pixel saturates (T < 1e-4).
     # The check costs a [1,PX] max-reduce + scalar branch sync per chunk
     # and cannot fire while any background pixel stays uncovered; False
@@ -91,14 +99,15 @@ class RasterizeConfig(NamedTuple):
         return self.ntx * self.nty
 
 
-def _place_and_chunk(cfg, dims, feats16, keys_prefix, rowid_prefix):
+def _place_and_chunk(cfg, dims, feats16, feats_big, valid_prefix, pay_prefix):
     """[V*N,16] rows -> dense chunked pair stream [NC, 16, chunk].
 
     (The kernels would prefer row-major [chunk, 16] blocks — that would make
     this reshape free — but Mosaic requires HBM DMA slices to be 128-aligned
     in the last dim, so the stream must be transposed to feats-major here.)"""
-    budget = dims[-1]
-    placed = binning_lib.place_pairs(feats16, keys_prefix, rowid_prefix, dims)
+    budget = dims[5]
+    placed = binning_lib.place_pairs(feats16, feats_big, valid_prefix,
+                                     pay_prefix, dims)
     return jnp.swapaxes(
         placed.reshape(budget // cfg.chunk, cfg.chunk,
                        binning_lib.PAIR_FEATS), 1, 2,
@@ -111,11 +120,11 @@ def _place_and_chunk(cfg, dims, feats16, keys_prefix, rowid_prefix):
 # without ever violating a cotangent-dtype check at a custom_vjp seam: the
 # only cotangent crossing this boundary is the small f32 d(feats16).
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _composite(cfg: RasterizeConfig, dims, feats16, keys_prefix,
-               rowid_prefix, payload, total_valid, sel_flat,
+def _composite(cfg: RasterizeConfig, dims, feats16, feats_big, valid_prefix,
+               pay_prefix, payload, total_valid, sel_flat, seg_bounds,
                tile_start_f, tile_count_f):
-    pair_feats = _place_and_chunk(cfg, dims, feats16, keys_prefix,
-                                  rowid_prefix)
+    pair_feats = _place_and_chunk(cfg, dims, feats16, feats_big, valid_prefix,
+                                  pay_prefix)
     tiles = pallas_forward.forward_tiles(
         pair_feats,
         tile_start_f.astype(jnp.int32),
@@ -132,10 +141,11 @@ def _composite(cfg: RasterizeConfig, dims, feats16, keys_prefix,
     return tiles
 
 
-def _composite_fwd(cfg, dims, feats16, keys_prefix, rowid_prefix, payload,
-                   total_valid, sel_flat, tile_start_f, tile_count_f):
-    pair_feats = _place_and_chunk(cfg, dims, feats16, keys_prefix,
-                                  rowid_prefix)
+def _composite_fwd(cfg, dims, feats16, feats_big, valid_prefix, pay_prefix,
+                   payload, total_valid, sel_flat, seg_bounds, tile_start_f,
+                   tile_count_f):
+    pair_feats = _place_and_chunk(cfg, dims, feats16, feats_big, valid_prefix,
+                                  pay_prefix)
     tiles = pallas_forward.forward_tiles(
         pair_feats,
         tile_start_f.astype(jnp.int32),
@@ -149,15 +159,15 @@ def _composite_fwd(cfg, dims, feats16, keys_prefix, rowid_prefix, payload,
         tile=cfg.tile,
         early_stop=cfg.early_stop,
     )
-    res = (pair_feats, payload, total_valid, sel_flat,
+    res = (pair_feats, payload, total_valid, sel_flat, seg_bounds,
            tile_start_f, tile_count_f, tiles)
     return tiles, res
 
 
 def _composite_bwd(cfg, dims, res, g_tiles):
-    (pair_feats, payload, total_valid, sel_flat,
+    (pair_feats, payload, total_valid, sel_flat, seg_bounds,
      tile_start_f, tile_count_f, tiles) = res
-    budget = dims[-1]
+    budget = dims[5]
     d_pairs = pallas_backward.backward_tiles(
         pair_feats,
         tile_start_f.astype(jnp.int32),
@@ -172,22 +182,30 @@ def _composite_bwd(cfg, dims, res, g_tiles):
         cumsum_mode=cfg.cumsum_mode,
         tile=cfg.tile,
         early_stop=cfg.early_stop,
+        view_regions=dims[6] > 0,
     )                                        # [NC, 16, chunk] f32 | bf16
     g_stream = jnp.swapaxes(d_pairs, 1, 2).reshape(
         budget, binning_lib.PAIR_FEATS
     )
     d_feats16 = binning_lib.regroup_pair_grads(
         g_stream, payload, total_valid, sel_flat, dims,
-        mode=cfg.regroup_mode,
+        mode=cfg.regroup_mode, seg_bounds=seg_bounds,
     )
     f0 = binning_lib._float0
+    v, n, k_big = dims[0], dims[1], dims[2]
     return (
         d_feats16,
-        f0(jnp.zeros((budget,), jnp.uint32)),  # keys_prefix
-        f0(jnp.zeros((budget,), jnp.int32)),   # rowid_prefix
+        # feats_big is feats16[rowsel] built OUTSIDE this boundary; its
+        # gradient contribution is already folded into d_feats16 by
+        # regroup_pair_grads' sel scatter-add, so its own cotangent is 0
+        # (a nonzero one would double-count through the outer gather's VJP)
+        jnp.zeros((v * k_big, binning_lib.PAIR_FEATS), d_feats16.dtype),
+        f0(jnp.zeros((budget,), jnp.bool_)),   # valid_prefix
+        f0(jnp.zeros((budget,), jnp.int32)),   # pay_prefix
         f0(payload),
         f0(total_valid),
         f0(sel_flat),
+        f0(seg_bounds),
         jnp.zeros_like(tile_start_f),
         jnp.zeros_like(tile_count_f),
     )
@@ -219,8 +237,10 @@ def rasterize_single(
         )
     )(cam_view, cam_view_proj)
 
-    # one flat binning over all V views: one sort, one gather, one global
-    # pair budget (binning v5 — see binning.py module doc)
+    # one flat binning over all V views: one sort, one gather (binning v5 —
+    # see binning.py module doc); per-view regions default on for V > 1
+    # (keeps the backward regroup's gather tables under the cache cliff)
+    pvb = cfg.per_view_budget if cfg.per_view_budget is not None else V > 1
     bins = binning_lib.bin_gaussians(
         proj, colors, opacity, cfg.img_h, cfg.img_w,
         tile_size=cfg.tile,
@@ -229,11 +249,13 @@ def rasterize_single(
         pair_budget=cfg.pair_budget_factor * means3d.shape[0] * V,
         big_win=cfg.big_win,
         exact_radius=cfg.exact_radius,
+        per_view_budget=pvb,
     )
 
     tiles = _composite(
-        cfg, bins.dims, bins.feats16, bins.keys_prefix, bins.rowid_prefix,
-        bins.payload, bins.total_valid, bins.sel_flat,
+        cfg, bins.dims, bins.feats16, bins.feats_big, bins.valid_prefix,
+        bins.pay_prefix,
+        bins.payload, bins.total_valid, bins.sel_flat, bins.seg_bounds,
         bins.tile_start.astype(jnp.float32),
         bins.tile_count.astype(jnp.float32),
     )                                                   # [V*n_tiles, 8, PX]

@@ -175,8 +175,16 @@ class DiTTrainer:
 
     def encode_inputs(self, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         """Frozen VAE latent + frozen conditioning features
-        (train_DiT.py:100-124)."""
+        (train_DiT.py:100-124).
+
+        Pre-encoded fast path: a batch carrying ``latent`` [B,C,h,w] (already
+        VAE-scaled) and ``cond`` [B,D,h',w'] skips the frozen VAE/encoder
+        forwards entirely — for latent-caching input pipelines and for
+        benching the DiT step in isolation."""
         cfg = self.cfg
+        if "latent" in batch and "cond" in batch:
+            return (jax.lax.stop_gradient(batch["latent"]),
+                    jax.lax.stop_gradient(batch["cond"]))
         posterior = self.vae.apply(
             self.vae_params, batch["input"], batch["UV_inital"],
             method=VAEModel.encode,

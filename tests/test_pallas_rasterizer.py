@@ -268,11 +268,16 @@ def test_budget_exceeding_candidates_pads_clean():
         m, cov3d, colors, opa, cv, cvp, jnp.ones(3), cfg)["image"] ** 2))(means)
     assert np.isfinite(np.asarray(g)).all()
     # the scatter regroup route pads the payload to the budget itself
-    # (regression: shape-mismatch trace error when budget > candidates)
+    # (regression: shape-mismatch trace error when budget > candidates);
+    # pin the global layout — per-view regions bypass regroup_mode
     g_scat = jax.grad(lambda m: jnp.sum(rasterize_single(
         m, cov3d, colors, opa, cv, cvp, jnp.ones(3),
-        cfg._replace(regroup_mode="scatter"))["image"] ** 2))(means)
-    np.testing.assert_allclose(np.asarray(g_scat), np.asarray(g),
+        cfg._replace(regroup_mode="scatter",
+                     per_view_budget=False))["image"] ** 2))(means)
+    g_glob = jax.grad(lambda m: jnp.sum(rasterize_single(
+        m, cov3d, colors, opa, cv, cvp, jnp.ones(3),
+        cfg._replace(per_view_budget=False))["image"] ** 2))(means)
+    np.testing.assert_allclose(np.asarray(g_scat), np.asarray(g_glob),
                                atol=1e-5, rtol=1e-5)
 
 
@@ -309,8 +314,89 @@ def test_regroup_scatter_matches_sort():
             return jnp.sum(out["image"] * g_img)
         return loss
 
-    base = _cfg(hw=32)._replace(grad_stream_bf16=False)
+    # pin the global layout: per-view regions bypass regroup_mode
+    base = _cfg(hw=32)._replace(grad_stream_bf16=False,
+                                per_view_budget=False)
     g_sort = jax.grad(loss_for(base))(means)
     g_scat = jax.grad(loss_for(base._replace(regroup_mode="scatter")))(means)
     np.testing.assert_allclose(np.asarray(g_scat), np.asarray(g_sort),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_per_view_regions_match_global():
+    """per_view_budget=True (fixed chunk-aligned per-view regions of the
+    dense pair stream + segmented backward regroup — the V>1 default) must
+    produce the same image AND gradients as the global-prefix layout when
+    nothing clips. Exercises the backward kernel's region-last emit rule:
+    at 96 gaussians the views' segments end chunk-unaligned."""
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=96)
+    g_img = jax.random.normal(jax.random.PRNGKey(4), (cv.shape[0], 3, 64, 64))
+
+    def loss_for(cfg):
+        def loss(m, c, col, o):
+            out = rasterize_single(m, c, col, o, cv, cvp, jnp.ones(3), cfg)
+            return jnp.sum(out["image"] * g_img) + jnp.sum(out["alpha"])
+        return loss
+
+    base = _cfg()._replace(grad_stream_bf16=False)
+    out_pv = rasterize_single(means, cov3d, colors, opa, cv, cvp,
+                              jnp.ones(3), base._replace(per_view_budget=True))
+    out_gl = rasterize_single(means, cov3d, colors, opa, cv, cvp,
+                              jnp.ones(3),
+                              base._replace(per_view_budget=False))
+    assert int(out_pv["overflow"]) == 0
+    assert int(out_gl["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(out_pv["image"]),
+                               np.asarray(out_gl["image"]), atol=1e-6)
+    g_pv = jax.grad(loss_for(base._replace(per_view_budget=True)),
+                    argnums=(0, 1, 2, 3))(means, cov3d, colors, opa)
+    g_gl = jax.grad(loss_for(base._replace(per_view_budget=False)),
+                    argnums=(0, 1, 2, 3))(means, cov3d, colors, opa)
+    # region padding shifts chunk boundaries for views > 0, so the kernels'
+    # per-chunk prefix sums associate differently -> f32 reassociation noise
+    # (measured ~1.5e-4 relative); compare normalized like the dense tests
+    for name, a, b in zip(["means3d", "cov3d", "colors", "opacity"],
+                          g_pv, g_gl):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_per_view_clipping_counts_and_stays_finite():
+    """A view whose pairs exceed its region must clip (counted in overflow)
+    while gradients stay finite and unclipped views stay exact."""
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=512)
+    cfg = _cfg(hw=64, chunk=32)._replace(pair_budget_factor=1,
+                                         per_view_budget=True)
+    out = rasterize_single(means, cov3d, colors, opa, cv, cvp,
+                           jnp.ones(3), cfg)
+    assert int(out["overflow"]) > 0
+    g = jax.grad(lambda m: jnp.sum(rasterize_single(
+        m, cov3d, colors, opa, cv, cvp, jnp.ones(3), cfg)["image"] ** 2
+    ))(means)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_mean_pixel_not_dropped_by_power_rounding():
+    """Regression (round-4 verify drive): the expanded-basis exponent matmul
+    can round to power = +eps at a pixel sitting ON a gaussian's mean — the
+    pixel where alpha is largest. The old CUDA-style `power > 0 -> drop`
+    guard zeroed a 0.74-alpha contribution there (0.607 image error at
+    n=160/seed=1/cam0); the clamp keeps it. Dense-oracle parity at the
+    exact failing inputs."""
+    g = random_gaussians(160, seed=1)
+    cov3d = build_cov3d(jnp.asarray(g["scales"]), jnp.asarray(g["rotations"]))
+    cv, cvp, _ = orbit_rig(3)
+    means = jnp.asarray(g["means3d"])
+    colors = jnp.asarray(g["colors"])
+    opa = jnp.asarray(g["opacity"])
+    cfg = _cfg()
+    out = rasterize_single(means, cov3d, colors, opa, cv[0:1], cvp[0:1],
+                           jnp.ones(3), cfg)
+    ref = render_dense(means, cov3d, colors, opa, cv[0], cvp[0], TH, TH,
+                       64, 64, bg_color=jnp.ones(3), tile_size=0)
+    np.testing.assert_allclose(
+        np.asarray(out["image"][0]), np.asarray(ref["image"]),
+        atol=2e-4, rtol=1e-4,
+    )
