@@ -77,8 +77,13 @@ class GaussianRenderer:
         if bg_color is None:
             bg_color = jnp.ones(3, f32)
 
-        # detached KNN base scale (gs.py:70-72)
-        dist2 = jax.vmap(mean_knn_dist2)(pos)
+        # detached KNN base scale (gs.py:70-72). The batch dim is UNROLLED,
+        # not vmapped: vmap makes the op's top_k a 3-D batched sort, which
+        # lowers ~67x slower on TPU (3765 vs 56 ms/call at B=1/N=52k,
+        # xprof round 4 — it was 44% of the vae_b G step). B is small and
+        # static, so V stacked 2-D calls compile to the fast path.
+        dist2 = jnp.stack([mean_knn_dist2(pos[b])
+                           for b in range(pos.shape[0])])
         dist2 = jax.lax.stop_gradient(jnp.maximum(dist2, 1e-7))
         base = jnp.sqrt(dist2)[..., None]
         scale = (scale_pred + 1.0) * base

@@ -14,6 +14,8 @@ driver separately dry-runs the real multi-chip path via
 
 import os
 
+import pytest
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = flags + " --xla_force_host_platform_device_count=8"
@@ -63,3 +65,20 @@ def pytest_collection_modifyitems(config, items):
     the cache entry later runs hit.
     """
     items.sort(key=lambda it: 0 if "test_training" in it.nodeid else 1)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_compiled_executables():
+    """Drop jax's in-process executable caches after each test module.
+
+    XLA:CPU segfaults in `backend_compile_and_load` (and once in
+    `executable.serialize`) when a renderer-family graph compiles ~90+
+    tests into one process — with every prior module's executables still
+    alive, JIT code memory accumulates into the failure. The same compiles
+    succeed in a fresh process. Clearing per module keeps the one-command
+    suite green; the persistent disk cache makes re-traced graphs cheap.
+    """
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()
