@@ -45,7 +45,10 @@ def main():
     )
 
     on_cpu = jax.devices()[0].platform == "cpu"
-    n_gauss = 50_000 if not on_cpu else 2_000
+    # BENCH_N overrides the cloud size (e.g. 100000 = real subdivided
+    # SMPL-X template scale — the committed headline stays 50k)
+    n_gauss = int(os.environ.get("BENCH_N",
+                                 "50000" if not on_cpu else "2000"))
     hw = 512 if not on_cpu else 128
     # headline workload is V=1 (round-comparable); BENCH_VIEWS=10 measures
     # the vae_b render workload (10 views / same gaussians) instead — the
@@ -162,6 +165,8 @@ def main():
     }
     if views != 1:
         out["views"] = views
+    if "BENCH_N" in os.environ:
+        out["n_gauss"] = n_gauss
     print(json.dumps(out))
 
 

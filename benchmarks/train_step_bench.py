@@ -31,6 +31,8 @@ def main():
                     help="synthetic body verts (~2x faces = gaussians)")
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--trace", default=None, help="xprof trace dir")
+    ap.add_argument("--trajectory", type=int, default=0,
+                    help="run N real G steps and log overflow per step")
     # renderer pair capacity: the synthetic template's KNN distances are
     # larger than a real subdivided SMPL-X's, so untrained splats span more
     # tiles; widen these until the reported overflow is a small fraction of
@@ -143,6 +145,16 @@ def main():
                        key)
     d_s, state = timed(trainer.train_step_d, state, sharded, key)
 
+    # --trajectory N: run N REAL G steps (params actually update) and log
+    # the per-step overflow — measures whether pair-capacity pressure
+    # relaxes as the huge untrained splats shrink (VERDICT r3 item 4)
+    traj = []
+    if args.trajectory:
+        for i in range(args.trajectory):
+            state, lg = trainer.train_step_g(state, sharded, lpips_params,
+                                             jax.random.fold_in(key, i))
+            traj.append(float(lg["overflow"]))
+
     rays = args.batch * cfg.num_views * args.size * args.size
     out = {
         "workload": f"vae_b B={args.batch} V={cfg.num_views} "
@@ -156,6 +168,8 @@ def main():
         "rays_per_s_g_step": round(rays / g_s),
         "overflow": float(logs["overflow"]),
     }
+    if traj:
+        out["overflow_trajectory"] = traj
     if g_flops:
         out["g_flops"] = g_flops
         # v5e peak: 197 TFLOP/s bf16, 98.5 f32. The G step is mixed
