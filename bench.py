@@ -58,6 +58,9 @@ def main():
     # /root/reference/scripts/test_vae.py:35-116 renders without grads);
     # prints metric rendered_rays_per_s_fwd_512 instead
     fwd_only = os.environ.get("BENCH_FWD", "0") == "1"
+    # BENCH_COMPACT=1: pre-sort compaction of valid candidates (A/B of the
+    # compact_sort lever — see RasterizeConfig.compact_sort)
+    compact = os.environ.get("BENCH_COMPACT", "0") == "1"
 
     th = tan_half_fov()
     g = random_gaussians(n_gauss, seed=0, spread=0.4,
@@ -71,6 +74,7 @@ def main():
         # the assert below enforces <1% dropped pairs); the tighter pair
         # budget shrinks all P_alloc-proportional placement work
         pair_budget_factor=5,
+        compact_sort=compact,
     )
     means = jnp.asarray(g["means3d"])
     colors = jnp.asarray(g["colors"])
@@ -167,6 +171,8 @@ def main():
         out["views"] = views
     if "BENCH_N" in os.environ:
         out["n_gauss"] = n_gauss
+    if compact:
+        out["compact_sort"] = True
     print(json.dumps(out))
 
 

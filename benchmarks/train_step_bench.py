@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--pair_budget_factor", type=int, default=None)
     ap.add_argument("--big_win", type=int, default=None)
     ap.add_argument("--max_tiles", type=int, default=None)
+    ap.add_argument("--remat", choices=["block", "conv", "none"],
+                    default=None, help="VAE conv-stack remat policy A/B")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +73,8 @@ def main():
         if val is not None:
             assert val > 0, f"--{name} must be positive, got {val}"
             cfg = cfg.replace(**{field: val})
+    if args.remat is not None:
+        cfg = cfg.replace(remat_policy=args.remat)
     body = synthetic_body_model(n_verts=args.verts)
     template = synthetic_template(body)
     n_gauss = template.init_pcd.shape[0]
@@ -158,7 +162,8 @@ def main():
     rays = args.batch * cfg.num_views * args.size * args.size
     out = {
         "workload": f"vae_b B={args.batch} V={cfg.num_views} "
-                    f"{args.size}^2 N={n_gauss} lpips=on",
+                    f"{args.size}^2 N={n_gauss} lpips=on "
+                    f"remat={cfg.remat_policy}",
         "platform": jax.devices()[0].platform,
         "init_s": round(init_s, 1),
         "compile_g_s": round(compile_g, 1),

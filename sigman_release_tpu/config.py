@@ -110,6 +110,11 @@ class Config:
     lr_warmup_steps: int = 2000
     mixed_precision: str = "bf16"
     gradient_checkpointing: bool = True
+    # VAE conv-stack remat: "block" (per-resnet full remat — reference
+    # gradient_checkpointing semantics), "conv" (save conv outputs,
+    # recompute only GN/SiLU — skips the conv recompute for ~3x the saved
+    # activation bytes), "none" (OOMs 16 GB at vae_b 512^2)
+    remat_policy: str = "block"
     seed: int = 0
     save_ckpt_steps: int = 200
     eval_steps: int = 3000

@@ -55,19 +55,51 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from jax.ad_checkpoint import checkpoint_name
+
         k = (3,) * self.dims
         h = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-6,
                          name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, k, padding="SAME", name="conv1")(h)
+        # conv outputs are tagged so the 'conv' remat policy can SAVE them
+        # and recompute only the cheap GN/SiLU chains in backward (the
+        # blanket per-resnet remat recomputes the convs too — ~1/3 of the
+        # train step's executed FLOPs, PERF.md round 4). No-op otherwise.
+        h = checkpoint_name(
+            nn.Conv(self.out_channels, k, padding="SAME", name="conv1")(h),
+            "vae_conv_out")
         h = nn.GroupNorm(num_groups=_num_groups(self.out_channels),
                          epsilon=1e-6, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, k, padding="SAME", name="conv2")(h)
+        h = checkpoint_name(
+            nn.Conv(self.out_channels, k, padding="SAME", name="conv2")(h),
+            "vae_conv_out")
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1,) * self.dims,
-                        name="conv_shortcut")(x)
+            x = checkpoint_name(
+                nn.Conv(self.out_channels, (1,) * self.dims,
+                        name="conv_shortcut")(x),
+                "vae_conv_out")
         return x + h
+
+
+def _resnet_for(mode: str):
+    """Remat flavor for the conv stacks (Config.remat_policy):
+
+    * "block" — per-resnet full remat (saves only each resnet's input;
+      recomputes convs AND norms in backward — the reference's
+      gradient_checkpointing semantics, vae_utils.py:476),
+    * "conv"  — per-resnet remat that SAVES the tagged conv outputs and
+      recomputes only GN/SiLU (VPU-cheap); ~3x the saved bytes of "block"
+      on the conv stack, in exchange for skipping the conv recompute,
+    * "none"  — no remat (OOMs a 16 GB chip at vae_b 512^2 scale).
+    """
+    if mode == "none":
+        return ResnetBlock
+    if mode == "conv":
+        policy = jax.checkpoint_policies.save_only_these_names("vae_conv_out")
+        return nn.remat(ResnetBlock, policy=policy)
+    assert mode == "block", f"unknown remat_policy {mode!r}"
+    return nn.remat(ResnetBlock)
 
 
 class Downsample2D(nn.Module):
@@ -100,11 +132,11 @@ class Encoder3D(nn.Module):
 
     block_channels: Sequence[int] = (128, 256, 256, 512)
     layers_per_block: int = 2
-    remat: bool = True
+    remat_mode: str = "block"
 
     @nn.compact
     def __call__(self, x):  # [B, V, H, W, 9]
-        block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        block = _resnet_for(self.remat_mode)
         x = nn.Conv(self.block_channels[0], (3, 3, 3), padding="SAME",
                     name="conv_in")(x)
         n = len(self.block_channels)
@@ -141,11 +173,11 @@ class Decoder2D(nn.Module):
     out_channels: int
     block_channels: Sequence[int] = (256, 512, 512, 1024)  # forward order
     layers_per_block: int = 3
-    remat: bool = True   # decoder resnets at 512^2 x1024ch OOM un-remat'd
+    remat_mode: str = "block"  # decoder resnets at 512^2 x1024ch OOM un-remat'd
 
     @nn.compact
     def __call__(self, z):  # [B, h, w, latent]
-        block = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        block = _resnet_for(self.remat_mode)
         chans = list(reversed(self.block_channels))
         x = nn.Conv(chans[0], (3, 3), padding="SAME", name="conv_in")(z)
         n = len(chans)
@@ -326,6 +358,7 @@ class ConvVAE(nn.Module):
     def setup(self):
         c = self.cfg
         self.encoder = Encoder3D(block_channels=c.encoder_channels,
+                                 remat_mode=c.remat_policy,
                                  name="encoder")
         d = c.encoder_channels[-1]
         self.h = self.w = c.uv_query_size
@@ -361,6 +394,7 @@ class ConvVAE(nn.Module):
         self.projection = nn.Dense(2 * c.latent_channels, name="projection")
         self.decoder = Decoder2D(out_channels=c.vae_out_channels,
                                  block_channels=c.decoder_channels,
+                                 remat_mode=c.remat_policy,
                                  name="decoder")
 
     def encode(self, x, initial_uv, train: bool = False) -> DiagonalGaussian:

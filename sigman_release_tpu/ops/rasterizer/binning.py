@@ -248,15 +248,34 @@ def regroup_pair_grads(g, payload, total_valid, sel_flat, dims,
     """
     v, n, k_big, a_slots, b_slots, budget, vb = dims
     c_a = v * n * a_slots
-    P = payload.shape[0]
+    P = c_a + v * k_big * b_slots      # full candidate count
     f = g.shape[1]
-    if vb:
-        assert seg_bounds is not None
-        # sorted position of every candidate (see the "sort" route below)
+
+    def candidate_positions():
+        """[P] sorted-stream position of every candidate (sentinel when the
+        candidate is not in the stream — routes to the pad row downstream).
+
+        Compacted streams (payload shorter than P — bin_gaussians
+        ``compact``): invert the C-sized permutation with a C-sized sort,
+        then one unique 1-D scatter expands positions back to candidate
+        order; pad payloads (>= P by construction) drop out of bounds."""
+        C = payload.shape[0]
+        if C < P:
+            pay_asc, pos_c = lax.sort(
+                (payload, jnp.arange(C, dtype=jnp.int32)), is_stable=False,
+                num_keys=1,
+            )
+            return jnp.full((P,), jnp.int32(2**30)).at[pay_asc].set(
+                pos_c, unique_indices=True, mode="drop")
         _, pos = lax.sort(
             (payload, jnp.arange(P, dtype=jnp.int32)), is_stable=False,
             num_keys=1,
         )
+        return pos
+
+    if vb:
+        assert seg_bounds is not None
+        pos = candidate_positions()
         seg_start = seg_bounds[:v]                         # [V]
         seg_len = seg_bounds[1:] - seg_bounds[:-1]         # [V]
         lim = jnp.minimum(seg_len, vb)
@@ -285,14 +304,17 @@ def regroup_pair_grads(g, payload, total_valid, sel_flat, dims,
     if mode == "scatter":
         nvalid = jnp.minimum(total_valid, budget)
         slot = jax.lax.broadcasted_iota(jnp.int32, (budget,), 0)
-        # budget may exceed the candidate count P (small scenes / generous
+        # budget may exceed the candidate count (small scenes / generous
         # budgets — bin_gaussians pads keys, not the payload): pad the
         # payload so the [budget]-shaped where is well-formed; padded slots
-        # satisfy slot >= nvalid and route to the dump row anyway
+        # satisfy slot >= nvalid and route to the dump row anyway.
+        # (Compacted streams arrive exactly [budget]-sized; their >= P pad
+        # payload values sit past nvalid and also route to the dump row.)
         pay_b = payload[:budget]
-        if budget > P:
+        if budget > payload.shape[0]:
             pay_b = jnp.concatenate(
-                [payload, jnp.zeros((budget - P,), payload.dtype)])
+                [payload,
+                 jnp.zeros((budget - payload.shape[0],), payload.dtype)])
         # clipped/invalid slots all target one dump row past the end
         tgt = jnp.where(slot < nvalid, pay_b, P)
         d_cand = jnp.zeros((P + 1, f), g.dtype).at[tgt].set(
@@ -303,11 +325,10 @@ def regroup_pair_grads(g, payload, total_valid, sel_flat, dims,
         d_feats = jax.vmap(lambda da, s, db: da.at[s].add(db))(d_a, sel, d_b)
         return d_feats.reshape(v * n, f)
 
-    # payload is a permutation of iota(P): sorting it ascending recovers,
-    # for each flat candidate index, its position in the sorted stream
-    _, pos = lax.sort(
-        (payload, jnp.arange(P, dtype=jnp.int32)), is_stable=False, num_keys=1
-    )
+    # payload is a permutation of iota(P) (or a compacted subset): sorting
+    # it ascending recovers, per flat candidate index, its position in the
+    # sorted stream
+    pos = candidate_positions()
     # invalid/clipped candidates ALL read the single pad row instead of
     # scattered zero rows in the stream tail — halves the random HBM reads
     # of this gather (the dominant backward cost outside the kernel)
@@ -336,6 +357,7 @@ def bin_gaussians(
     big_frac: int = 32,
     exact_radius: bool = True,
     per_view_budget: bool = False,
+    compact: bool = False,
 ) -> TileBinning:
     """``per_view_budget``: split ``pair_budget`` into V fixed chunk-aligned
     regions of the dense stream (one per view) instead of one shared global
@@ -358,7 +380,11 @@ def bin_gaussians(
     if pair_budget is None:
         pair_budget = 5 * n * v_views
     if per_view_budget:
-        vb = -(-(pair_budget // v_views) // chunk) * chunk
+        assert pair_budget >= v_views, (
+            f"pair_budget={pair_budget} < v_views={v_views}: per-view "
+            "regions would get a zero budget and silently overflow "
+            "every pair")
+        vb = max(chunk, -(-(pair_budget // v_views) // chunk) * chunk)
         budget = vb * v_views
     else:
         vb = 0
@@ -506,6 +532,28 @@ def bin_gaussians(
     keys = jnp.concatenate([keys_a, keys_b])
     payload = jnp.concatenate([payload_a, payload_b])
     cand_ok = jnp.concatenate([cand_ok_a.reshape(-1), cand_ok_b.reshape(-1)])
+    if compact:
+        # Compact valid candidates into the static budget-sized buffer
+        # BEFORE sorting: ~73% of emitted slots are invalid at avatar scale
+        # and both the binning sort and the backward inverse-perm sort
+        # otherwise carry them. One linear cumsum + two unique 1-D scatters
+        # buy a ~2x shorter sort each way. Valid candidates beyond the
+        # budget drop in emission (view-major) order instead of sorted-key
+        # order — same count, different membership, counted in overflow
+        # either way (only differs when the budget actually clips).
+        p0 = keys.shape[0]
+        cs = jnp.cumsum(cand_ok.astype(jnp.int32))
+        # invalid slots get globally unique out-of-bounds targets (above
+        # any valid cs-1 <= p0-1) so unique_indices holds; mode="drop"
+        # discards them AND any valid candidate past the budget
+        dst = jnp.where(cand_ok, cs - 1,
+                        p0 + jnp.arange(p0, dtype=jnp.int32))
+        keys = jnp.full((budget,), INVALID, jnp.uint32).at[dst].set(
+            keys, unique_indices=True, mode="drop")
+        # pad slots carry unique out-of-range candidate ids (>= p0) so the
+        # backward's pos scatter stays unique and drops them
+        payload = (p0 + jnp.arange(budget, dtype=jnp.int32)).at[dst].set(
+            payload, unique_indices=True, mode="drop")
     keys_s, pay_s = lax.sort((keys, payload), is_stable=False, num_keys=1)
     # the feats row of every sorted slot is DERIVED from the payload
     # (candidate index encodes (view, gaussian, window-slot) by construction)
@@ -549,6 +597,10 @@ def bin_gaussians(
             for vi in range(v_views)
         ])                                                     # [budget]
         overflow = overflow_base + jnp.sum(jnp.maximum(seg_len - vb, 0))
+        if compact:
+            # candidates the pre-sort compaction dropped never reach the
+            # segments, so they are invisible to the region-clip count
+            overflow = overflow + jnp.maximum(total_valid - budget, 0)
         # remap tile segments into their view's region
         seg_start_t = jnp.repeat(seg_start, n_tiles)
         lim_t = jnp.repeat(lim, n_tiles)

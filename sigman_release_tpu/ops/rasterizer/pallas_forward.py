@@ -187,7 +187,11 @@ def _chunk_alpha(feats, ox, oy, basis, row_ok):
     # verify drive). Clamp the exponent instead (alpha <= opa stays
     # bounded; the error vs the true tiny-negative power is <= POWER_EPS)
     # and keep the hard drop only for grossly positive power (broken
-    # conics), far above the matmul's rounding scale.
+    # conics), far above the matmul's rounding scale. Straight-through note
+    # (advisor r4): in the clamp band 0 < power <= POWER_EPS the forward
+    # alpha is the constant opa (exp clamped at 0) while the backward still
+    # differentiates alpha = opa*exp(power) — a deliberate straight-through
+    # derivative, mismatch bounded by ~POWER_EPS (1e-3) relative.
     g = jnp.exp(jnp.minimum(power, 0.0))
     raw = opa * g
     live = row_ok & (power <= POWER_EPS)

@@ -70,7 +70,8 @@ class RasterizeConfig(NamedTuple):
     # backward gradient-regroup route: "sort" (invert the binning sort with
     # a second 1-D sort + row gather) or "scatter" (one unique-index
     # permutation scatter, no second sort). See binning.regroup_pair_grads.
-    # Ignored under per-view regions (which have their own segmented route).
+    # Global layout only: combining 'scatter' with per-view regions (which
+    # have their own segmented route) raises — set per_view_budget=False.
     regroup_mode: str = "sort"
     # pair-stream layout: None = auto (per-view regions when V > 1, global
     # otherwise). Per-view regions split the pair budget into V fixed
@@ -79,6 +80,12 @@ class RasterizeConfig(NamedTuple):
     # gather cache cliff — the round-3 V=10 regression, PERF.md round 4);
     # global keeps one shared budget that absorbs per-view pair imbalance.
     per_view_budget: bool | None = None
+    # compact valid candidates into the budget-sized buffer BEFORE the
+    # binning sort (one linear cumsum + two unique 1-D scatters for a ~2x
+    # shorter sort each way — ~73% of emitted slots are invalid at avatar
+    # scale); when the budget clips, drops happen in emission (view-major)
+    # order instead of sorted-key order — same count, different membership.
+    compact_sort: bool = False
     # per-tile early termination once every pixel saturates (T < 1e-4).
     # The check costs a [1,PX] max-reduce + scalar branch sync per chunk
     # and cannot fire while any background pixel stays uncovered; False
@@ -241,6 +248,15 @@ def rasterize_single(
     # see binning.py module doc); per-view regions default on for V > 1
     # (keeps the backward regroup's gather tables under the cache cliff)
     pvb = cfg.per_view_budget if cfg.per_view_budget is not None else V > 1
+    if pvb and cfg.regroup_mode != "sort":
+        # Per-view regions use their own segmented regroup; a non-default
+        # regroup_mode would be silently ignored — an A/B of
+        # regroup_mode='scatter' at V>1 would measure the same route twice
+        # (advisor r4). Force global layout to honor the request.
+        raise ValueError(
+            f"regroup_mode={cfg.regroup_mode!r} is only implemented for the "
+            "global pair-stream layout; set per_view_budget=False to A/B it "
+            "(per-view regions always regroup via the segmented sort route)")
     bins = binning_lib.bin_gaussians(
         proj, colors, opacity, cfg.img_h, cfg.img_w,
         tile_size=cfg.tile,
@@ -250,6 +266,7 @@ def rasterize_single(
         big_win=cfg.big_win,
         exact_radius=cfg.exact_radius,
         per_view_budget=pvb,
+        compact=cfg.compact_sort,
     )
 
     tiles = _composite(

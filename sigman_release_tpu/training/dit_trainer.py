@@ -183,6 +183,14 @@ class DiTTrainer:
         benching the DiT step in isolation."""
         cfg = self.cfg
         if "latent" in batch and "cond" in batch:
+            # A batch must be EITHER pre-encoded or raw — carrying both
+            # would silently skip the frozen VAE/encoder forwards on data
+            # that was never VAE-scaled (advisor r4).
+            assert "input" not in batch and "sapiens_input" not in batch, (
+                "batch carries both pre-encoded ('latent'/'cond') and raw "
+                "('input'/'sapiens_input') keys; drop one set — the "
+                "pre-encoded fast path expects latents already scaled by "
+                "vae_scaling_factor")
             return (jax.lax.stop_gradient(batch["latent"]),
                     jax.lax.stop_gradient(batch["cond"]))
         posterior = self.vae.apply(

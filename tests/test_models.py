@@ -200,3 +200,37 @@ def test_vae_attn_dropout_train_only(vae_setup):
     t1, t2 = post(True, 0), post(True, 1)
     assert np.abs(t1 - t2).max() > 0               # train: rng-dependent
     assert np.abs(t1 - e1).max() > 0
+
+
+def test_remat_policy_pure_scheduling(vae_setup):
+    """Config.remat_policy ("block" | "conv" | "none") is a pure scheduling
+    transform: same params, same inputs -> identical outputs and identical
+    gradients (the "conv" policy saves tagged conv outputs and recomputes
+    only GN/SiLU in backward — see models.vae._resnet_for)."""
+    _, params = vae_setup
+    key = jax.random.PRNGKey(0)
+    B, V, H = 1, CFG.num_input_views, CFG.input_size
+    images = jnp.asarray(
+        np.random.default_rng(3).normal(0, 1, (B, V, 9, H, H)), jnp.float32
+    )
+    uv = jnp.zeros((B, 3, H, H))
+
+    def run(policy):
+        model = VAEModel(CFG.replace(remat_policy=policy))
+
+        def loss(p):
+            attr, _ = model.apply(p, images, uv, key, True, False)
+            return jnp.sum(attr ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        return np.asarray(val), grads
+
+    v_block, g_block = run("block")
+    for policy in ("conv", "none"):
+        v, g = run(policy)
+        np.testing.assert_array_equal(v, v_block)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5,
+                err_msg=f"{policy} grad mismatch"),
+            g, g_block)

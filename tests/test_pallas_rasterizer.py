@@ -323,6 +323,17 @@ def test_regroup_scatter_matches_sort():
                                atol=1e-6, rtol=1e-6)
 
 
+def test_regroup_scatter_with_per_view_regions_raises():
+    """regroup_mode='scatter' combined with per-view regions (the V>1
+    default) must fail loudly instead of silently running the segmented
+    sort route twice in an A/B (advisor r4)."""
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=16)
+    cfg = _cfg(hw=32)._replace(regroup_mode="scatter", per_view_budget=True)
+    with pytest.raises(ValueError, match="global pair-stream layout"):
+        rasterize_single(means, cov3d, colors, opa, cv, cvp,
+                         jnp.ones(3), cfg)
+
+
 def test_per_view_regions_match_global():
     """per_view_budget=True (fixed chunk-aligned per-view regions of the
     dense pair stream + segmented backward regroup — the V>1 default) must
@@ -361,6 +372,56 @@ def test_per_view_regions_match_global():
         scale = np.abs(b).max() + 1e-6
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-4,
                                    err_msg=f"grad mismatch: {name}")
+
+
+@pytest.mark.parametrize("per_view", [False, True])
+def test_compact_sort_matches_uncompacted(per_view):
+    """compact_sort=True (pre-sort compaction of valid candidates into the
+    budget buffer) must reproduce the uncompacted image AND gradients
+    exactly in both stream layouts when the budget does not clip — the
+    compacted stream holds the same candidates in the same sorted order,
+    only the sort inputs shrink."""
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=96)
+    g_img = jax.random.normal(jax.random.PRNGKey(7), (cv.shape[0], 3, 64, 64))
+
+    def loss_for(cfg):
+        def loss(m, c, col, o):
+            out = rasterize_single(m, c, col, o, cv, cvp, jnp.ones(3), cfg)
+            return jnp.sum(out["image"] * g_img) + jnp.sum(out["alpha"])
+        return loss
+
+    base = _cfg()._replace(grad_stream_bf16=False, per_view_budget=per_view)
+    out_c = rasterize_single(means, cov3d, colors, opa, cv, cvp,
+                             jnp.ones(3), base._replace(compact_sort=True))
+    out_u = rasterize_single(means, cov3d, colors, opa, cv, cvp,
+                             jnp.ones(3), base)
+    assert int(out_c["overflow"]) == 0
+    np.testing.assert_allclose(np.asarray(out_c["image"]),
+                               np.asarray(out_u["image"]), atol=0.0)
+    g_c = jax.grad(loss_for(base._replace(compact_sort=True)),
+                   argnums=(0, 1, 2, 3))(means, cov3d, colors, opa)
+    g_u = jax.grad(loss_for(base), argnums=(0, 1, 2, 3))(means, cov3d,
+                                                         colors, opa)
+    for name, a, b in zip(["means3d", "cov3d", "colors", "opacity"],
+                          g_c, g_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0.0,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_compact_sort_clip_counts_and_stays_finite():
+    """When the budget DOES clip, compaction drops in emission order —
+    overflow must count the drops and gradients stay finite."""
+    means, cov3d, colors, opa, cv, cvp = _inputs(n=512)
+    cfg = _cfg(hw=64, chunk=32)._replace(pair_budget_factor=1,
+                                         compact_sort=True,
+                                         per_view_budget=False)
+    out = rasterize_single(means, cov3d, colors, opa, cv, cvp,
+                           jnp.ones(3), cfg)
+    assert int(out["overflow"]) > 0
+    g = jax.grad(lambda m: jnp.sum(rasterize_single(
+        m, cov3d, colors, opa, cv, cvp, jnp.ones(3), cfg)["image"] ** 2
+    ))(means)
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_per_view_clipping_counts_and_stays_finite():
