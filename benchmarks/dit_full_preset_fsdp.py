@@ -72,6 +72,9 @@ def main():
         batch_size=args.batch,
         # CPU run: bf16 matmuls are emulated and slow on x86
         mixed_precision="no",
+        # constant lr: the preset's warmup-from-0 schedule makes the very
+        # first step a no-op update, defeating the params-changed check
+        lr_scheduler="constant", lr_warmup_steps=0,
     )
     assert cfg.num_attention_heads * cfg.attention_head_dim == 2048
     assert cfg.num_layers == 30
