@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--wide_factor", type=int, default=16)
     ap.add_argument("--wide_big_win", type=int, default=14)
+    # pin the BASE config explicitly (since round 5 the vae_b preset itself
+    # carries the widened 12/12 capacity; pass 5/6 here to reproduce the
+    # pre-round-5 default as the comparison base)
+    ap.add_argument("--base_factor", type=int, default=None)
+    ap.add_argument("--base_big_win", type=int, default=None)
     # one config per PROCESS: both grad graphs + both grad trees at 512^2
     # scale OOM a 16 GB chip in one process. Run --config default and
     # --config widened (each saves an npz), then --compare.
@@ -68,6 +73,10 @@ def main():
         input_size=args.size, output_size=args.size,
         batch_size=args.batch, lambda_lpips=1.0, disc_start=0,
     )
+    if args.base_factor is not None:
+        base = base.replace(pair_budget_factor=args.base_factor)
+    if args.base_big_win is not None:
+        base = base.replace(render_big_win=args.base_big_win)
     wide = base.replace(pair_budget_factor=args.wide_factor,
                         render_big_win=args.wide_big_win)
 
@@ -104,12 +113,15 @@ def main():
     }
 
     def grads_for(trainer):
-        # batch/state ride as ARGUMENTS: closed-over arrays embed as HLO
-        # constants and blow the remote-compile request past its length
-        # limit (HTTP 413) at 512^2 x 6-view batch scale
-        def loss_fn(diff, b, step, lp, dp):
+        # batch/state/deformer-state ride as ARGUMENTS: closed-over arrays
+        # embed as HLO constants and blow the remote-compile request past
+        # its length limit (HTTP 413) at 512^2 x 6-view batch scale — and
+        # at 100k-gaussian template scale the deformer's podir alone is
+        # ~600 MB (hence the explicit deformer_state threading)
+        def loss_fn(diff, b, step, lp, dp, ds):
             params, logvar = diff
-            outputs, posterior = trainer.forward(params, b, key, train=True)
+            outputs, posterior = trainer.forward(params, b, key, train=True,
+                                                 deformer_state=ds)
             overflow = outputs.pop("overflow")
             loss, _ = trainer.loss.generator(
                 outputs, posterior, step, logvar,
@@ -118,7 +130,7 @@ def main():
             return loss, jnp.sum(overflow)
         g, ov = jax.jit(jax.grad(loss_fn, has_aux=True))(
             (state.params, state.logvar), batch, state.step,
-            lpips_params, state.disc_params)
+            lpips_params, state.disc_params, trainer.deformer_state)
         return jax.tree.map(np.asarray, g), float(ov)
 
     which = args.config or "default"

@@ -136,7 +136,8 @@ def main():
         "images_output": jnp.zeros((1, cfg.num_views, 3, H, H)),
         "masks_output": jnp.ones((1, cfg.num_views, 1, H, H)),
     }
-    gt = jax.jit(trainer._render_attrs)(jnp.asarray(attr_gt), gt_batch)
+    gt = jax.jit(trainer._render_attrs)(jnp.asarray(attr_gt), gt_batch,
+                                        trainer.deformer_state)
     images_gt = np.asarray(gt["images_pred"])              # [1,V,3,H,W]
     alphas_gt = np.asarray(gt["alphas_pred"])              # [1,V,1,H,W]
     assert float(gt["overflow"].sum()) == 0.0, (

@@ -114,8 +114,9 @@ def main():
     # the same args; donation/shardings identical to the timed call.
     g_flops = None
     try:
-        lowered = trainer.train_step_g.lower(
-            trainer, state, sharded, lpips_params, key)
+        lowered = trainer._train_step_g_jit.lower(
+            trainer, state, sharded, lpips_params, key,
+            trainer.deformer_state)
         g_flops = lowered.compile().cost_analysis()["flops"]
     except Exception as e:  # cost model availability varies by backend
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)

@@ -41,7 +41,14 @@ VOXEL_RES = 64        # (d, h, w) = (res/4, res, res)
 
 
 class DeformerState(NamedTuple):
-    """Pose-independent buffers baked once from the canonical pose."""
+    """Pose-independent buffers baked once from the canonical pose.
+
+    Also carries the HEAVY constant tensors (body model + template
+    shape/pose dirs + template skinning weights) so the whole deformation
+    path can receive them as jit ARGUMENTS: closed-over arrays embed as HLO
+    constants, and at real-template scale (~100k gaussians) the podir
+    matrix alone is ~600 MB — past this environment's remote-compile
+    request limit (HTTP 413) and needless executable bloat anywhere."""
 
     tfs_inv_t: jnp.ndarray       # [1,J,4,4] inverse canonical bone transforms
     vs_template: jnp.ndarray     # [1,V,3] canonical verts
@@ -50,6 +57,10 @@ class DeformerState(NamedTuple):
     offset: jnp.ndarray          # [1,1,3] normalization offset
     scale: jnp.ndarray           # [] normalization scale
     ratio: float                 # H/D anisotropy
+    model: SMPLXModel            # body model arrays (pytree)
+    init_spdir: jnp.ndarray      # [M,3,20] per-vertex shape dirs
+    init_podir: jnp.ndarray      # [486, M*3] per-vertex pose dirs
+    init_lbsw: jnp.ndarray       # [N,J] template skinning weights
 
 
 class PosedState(NamedTuple):
@@ -94,13 +105,38 @@ class GaussianDeformer:
 
     # ---- one-time init ------------------------------------------------------
 
-    def initialize(self) -> DeformerState:
+    def _model(self, state: DeformerState) -> SMPLXModel:
+        """state.model with the STRUCTURAL fields re-attached.
+
+        parents/faces index the kinematic chain at trace time (python-level
+        loops), so they ride on the static ``self`` instead of the traced
+        state pytree (where they are None)."""
+        return state.model._replace(parents=self.model.parents,
+                                    faces=self.model.faces)
+
+    def initialize(self, model: Optional[SMPLXModel] = None,
+                   init_spdir=None, init_podir=None,
+                   init_lbsw=None) -> DeformerState:
+        """Bake the pose-independent state.
+
+        The heavy tensors may be passed as ARGUMENTS (so a jitted call
+        ships them as device buffers, not HLO constants — mandatory at
+        ~100k-gaussian template scale); they default to the constructor's
+        copies for small models."""
+        if model is None:
+            model = self.model
+        else:
+            model = model._replace(parents=self.model.parents,
+                                   faces=self.model.faces)
+        init_podir = self.init_podir if init_podir is None else init_podir
+        init_spdir = self.init_spdir if init_spdir is None else init_spdir
+        init_lbsw = self.init_lbsw if init_lbsw is None else init_lbsw
         cano = canonical_params(1, pca_hands=True)
-        out = smplx_forward(self.model, cano)
+        out = smplx_forward(model, cano)
         tfs_inv_t = rigid_inverse(out.A)
 
         # canonical per-vertex pose offset, averaged to face centers
-        pose_off = (out.pose_feature @ self.init_podir).reshape(1, -1, 3)
+        pose_off = (out.pose_feature @ init_podir).reshape(1, -1, 3)
         pose_off = _face_average(pose_off, self.init_faces)
 
         d, h, w = VOXEL_RES // 4, VOXEL_RES, VOXEL_RES
@@ -124,7 +160,7 @@ class GaussianDeformer:
         wts = 1.0 / dist
         wts = wts / jnp.sum(wts, axis=-1, keepdims=True)
         wv = jnp.sum(
-            wts[..., None] * self.model.lbs_weights[idx], axis=1
+            wts[..., None] * model.lbs_weights[idx], axis=1
         )                                               # [D*H*W, J]
         lbs_voxel = wv.T.reshape(-1, d, h, w)           # [J,D,H,W]
 
@@ -136,15 +172,20 @@ class GaussianDeformer:
             offset=offset,
             scale=scale,
             ratio=float(ratio),
+            model=model._replace(parents=None, faces=None),
+            init_spdir=jnp.asarray(init_spdir),
+            init_podir=jnp.asarray(init_podir),
+            init_lbsw=jnp.asarray(init_lbsw),
         )
 
     # ---- per-batch pose prep ------------------------------------------------
 
     def prepare(self, state: DeformerState, params: SMPLXParams) -> PosedState:
-        out = smplx_forward(self.model, params)
+        out = smplx_forward(self._model(state), params)
         shape_comps = jnp.concatenate([params.betas, params.expression], -1)
-        shape_offset = jnp.einsum("bl,mkl->bmk", shape_comps, self.init_spdir)
-        pose_offset = (out.pose_feature @ self.init_podir).reshape(
+        shape_offset = jnp.einsum("bl,mkl->bmk", shape_comps,
+                                  state.init_spdir)
+        pose_offset = (out.pose_feature @ state.init_podir).reshape(
             shape_offset.shape
         )
         return PosedState(out.A, shape_offset, pose_offset)
@@ -173,7 +214,7 @@ class GaussianDeformer:
         w = self.query_weights(state, pts)
         if self.weight_mask is not None:
             mask = jnp.asarray(self.weight_mask)
-            w = jnp.where(mask[None, :, None], self.init_lbsw[None], w)
+            w = jnp.where(mask[None, :, None], state.init_lbsw[None], w)
 
         shape_off = _face_average(posed.shape_offset, faces)
         pose_off = _face_average(posed.pose_offset, faces)

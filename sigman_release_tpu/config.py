@@ -64,14 +64,20 @@ class Config:
     num_views: int = 10
     num_input_views: int = 6
     max_tiles_per_gaussian: int = 36
-    # renderer pair capacity: budget = factor * N * V; big_win is the top-K
-    # fallback window side (> sqrt(max_tiles_per_gaussian) to be active; at
-    # the default it is inactive — the vae_b train graph sits ~150 MB under
-    # the 16 GB chip and the fallback pool's binning temporaries tip it
-    # over). Raise both if the per-step overflow log shows real drops
-    # (typical with randomly-initialized decoders in the first steps).
-    pair_budget_factor: int = 5
-    render_big_win: int = 6
+    # Renderer pair capacity: budget = factor * N * V; big_win is the top-K
+    # fallback window side (> sqrt(max_tiles_per_gaussian) to be active).
+    # DEFAULT CHANGED round 5 (5/6 -> 12/12): at the untrained-splat
+    # operating point the 5/6 capacity drops ~2M pairs/step with gradient
+    # cosine 0.437 vs the widened point, and the committed default-capacity
+    # overfit run collapsed to the empty-render attractor at step ~240 and
+    # never recovered, while the identically-seeded widened run finished at
+    # PSNR 14.9 / SSIM 0.91 with overflow decayed 525k -> 0 by step ~150
+    # (CAPACITY_r05.json, TRAJ_r05.json). Steady-state drops at 12/12 are
+    # ZERO; the cost is ~10-15% G-step time while splats are still large.
+    # Tighten back per-run once the overflow log reads ~0 if the step time
+    # matters more than early-phase exactness.
+    pair_budget_factor: int = 12
+    render_big_win: int = 12
 
     # ---- diffusion sampling --------------------------------------------------
     num_train_timesteps: int = 1000

@@ -112,10 +112,16 @@ class VAETrainer:
             template.init_podir, template.init_lbsw, weight_mask=mask,
         )
         # jit: the 55-joint kinematic chain + KNN voxel bake dispatch ~1000
-        # ops eagerly otherwise (tens of seconds on CPU)
+        # ops eagerly otherwise (tens of seconds on CPU). The heavy tensors
+        # ride as ARGUMENTS (parents/faces stripped — structural, static):
+        # closed-over they embed as HLO constants, which at ~100k-gaussian
+        # template scale exceeds compile-request limits (podir ~600 MB).
         self.deformer_state: DeformerState = jax.jit(
             self.deformer.initialize
-        )()
+        )(
+            body_model._replace(parents=None, faces=None),
+            template.init_spdir, template.init_podir, template.init_lbsw,
+        )
 
         self.renderer = GaussianRenderer(cfg, interpret=interpret)
         self.model = VAEModel(cfg)
@@ -207,17 +213,24 @@ class VAETrainer:
         )
 
     def _render_attrs(self, attr_map: jnp.ndarray,
-                      batch: Dict[str, jnp.ndarray]):
+                      batch: Dict[str, jnp.ndarray],
+                      deformer_state: Optional[DeformerState] = None):
         """UV attribute map -> grid-sample -> deform -> rasterize
         (autoencoder.py:284-345 bottom half; shared by the encode+decode
-        forward and the decode-only latent path)."""
+        forward and the decode-only latent path).
+
+        ``deformer_state``: pass it when calling from inside a jitted
+        function so the heavy body/template tensors ride as arguments
+        (see DeformerState); defaults to the trainer's copy."""
+        ds = (deformer_state if deformer_state is not None
+              else self.deformer_state)
         t = self.template
         attrs = sample_gaussian_attrs(attr_map, t.init_uv)
         canon = t.init_pcd[None] + attrs["offset"]
 
         smplx_params = parse_param_vector(batch["smpl_params"])
-        posed = self.deformer.prepare(self.deformer_state, smplx_params)
-        defm_pcd, tfs = self.deformer(self.deformer_state, posed, canon)
+        posed = self.deformer.prepare(ds, smplx_params)
+        defm_pcd, tfs = self.deformer(ds, posed, canon)
         R_def = compose_rotations(attrs["rot"], t.init_rot, tfs)
 
         gaussians = {
@@ -242,7 +255,8 @@ class VAETrainer:
         }
 
     def forward(self, params, batch: Dict[str, jnp.ndarray], rng: jax.Array,
-                sample_posterior: bool = True, train: bool = False):
+                sample_posterior: bool = True, train: bool = False,
+                deformer_state: Optional[DeformerState] = None):
         """Full differentiable forward: images -> rendered views.
 
         ``train=True`` activates the bottleneck attention dropout (0.1,
@@ -263,18 +277,23 @@ class VAETrainer:
             posterior.mean.astype(jnp.float32),
             posterior.logvar.astype(jnp.float32),
         )
-        return self._render_attrs(attr_map, batch), posterior
+        return self._render_attrs(attr_map, batch, deformer_state), posterior
 
-    @functools.partial(jax.jit, static_argnames=("self",))
     def render_latent(self, params, z: jnp.ndarray,
                       batch: Dict[str, jnp.ndarray]):
         """Decode-only path: latent [B,h,w,Cl] -> decode -> deform -> render
         (the reference's VAE.decode_uv, autoencoder.py:372-453 — used by the
         DiT sampling pipeline and its in-training eval)."""
+        return self._render_latent_jit(params, z, batch, self.deformer_state)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _render_latent_jit(self, params, z: jnp.ndarray,
+                           batch: Dict[str, jnp.ndarray],
+                           deformer_state: DeformerState):
         attr_map = self.model.apply(
             self._cast_params(params), z, method=VAEModel.decode
         ).astype(jnp.float32)
-        return self._render_attrs(attr_map, batch)
+        return self._render_attrs(attr_map, batch, deformer_state)
 
     # ------------------------------------------------------------ train steps
     #
@@ -299,9 +318,19 @@ class VAETrainer:
     # donate the train state: 250M params + adam moments are ~3GB f32 at
     # vae_b scale — without donation old AND new state are live across the
     # step (6GB of the 16GB chip). Callers must rebind (state = step(state)).
-    @functools.partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    #
+    # Public train_step_g/d, eval_step, render_latent are thin wrappers that
+    # append self.deformer_state as a jit ARGUMENT to the *_jit impls: the
+    # heavy body/template tensors inside it would otherwise embed as HLO
+    # constants (DeformerState docstring — 413s at 100k-gaussian scale).
     def train_step_g(self, state: TrainState, batch, lpips_params,
                      rng: jax.Array):
+        return self._train_step_g_jit(state, batch, lpips_params, rng,
+                                      self.deformer_state)
+
+    @functools.partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def _train_step_g_jit(self, state: TrainState, batch, lpips_params,
+                          rng: jax.Array, deformer_state: DeformerState):
         from jax.sharding import PartitionSpec as P
 
         from sigman_release_tpu.parallel.mesh import batch_specs
@@ -309,14 +338,15 @@ class VAETrainer:
         axes = self._axes()
         use_axis = self.spmd == "shard_map"
 
-        def local_step(state, batch, lpips_params, rng):
+        def local_step(state, batch, lpips_params, rng, deformer_state):
             if use_axis:
                 rng = self._fold_rng(rng)
 
             def loss_fn(diff):
                 params, logvar = diff
-                outputs, posterior = self.forward(params, batch, rng,
-                                                  train=True)
+                outputs, posterior = self.forward(
+                    params, batch, rng, train=True,
+                    deformer_state=deformer_state)
                 overflow = outputs.pop("overflow")
                 lp = (lpips_params["loss"] if self._dual_lpips
                       else lpips_params)
@@ -350,17 +380,22 @@ class VAETrainer:
             ), logs
 
         if not use_axis:
-            return local_step(state, batch, lpips_params, rng)
+            return local_step(state, batch, lpips_params, rng,
+                              deformer_state)
         fn = jax.shard_map(
             local_step, mesh=self.mesh,
-            in_specs=(P(), batch_specs(batch, self.mesh), P(), P()),
+            in_specs=(P(), batch_specs(batch, self.mesh), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return fn(state, batch, lpips_params, rng)
+        return fn(state, batch, lpips_params, rng, deformer_state)
+
+    def train_step_d(self, state: TrainState, batch, rng: jax.Array):
+        return self._train_step_d_jit(state, batch, rng, self.deformer_state)
 
     @functools.partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
-    def train_step_d(self, state: TrainState, batch, rng: jax.Array):
+    def _train_step_d_jit(self, state: TrainState, batch, rng: jax.Array,
+                          deformer_state: DeformerState):
         from jax.sharding import PartitionSpec as P
 
         from sigman_release_tpu.parallel.mesh import batch_specs
@@ -368,12 +403,13 @@ class VAETrainer:
         axes = self._axes()
         use_axis = self.spmd == "shard_map"
 
-        def local_step(state, batch, rng):
+        def local_step(state, batch, rng, deformer_state):
             if use_axis:
                 rng = self._fold_rng(rng)
             # train-mode re-forward, like the reference's D branch (the
             # generator stays in torch train mode there too)
-            outputs, _ = self.forward(state.params, batch, rng, train=True)
+            outputs, _ = self.forward(state.params, batch, rng, train=True,
+                                      deformer_state=deformer_state)
             outputs = jax.lax.stop_gradient(outputs)
 
             def loss_fn(disc_params):
@@ -394,18 +430,23 @@ class VAETrainer:
             ), logs
 
         if not use_axis:
-            return local_step(state, batch, rng)
+            return local_step(state, batch, rng, deformer_state)
         fn = jax.shard_map(
             local_step, mesh=self.mesh,
-            in_specs=(P(), batch_specs(batch, self.mesh), P()),
+            in_specs=(P(), batch_specs(batch, self.mesh), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return fn(state, batch, rng)
+        return fn(state, batch, rng, deformer_state)
 
-    @functools.partial(jax.jit, static_argnames=("self",))
     def eval_step(self, state: TrainState, batch, lpips_params,
                   rng: jax.Array):
+        return self._eval_step_jit(state, batch, lpips_params, rng,
+                                   self.deformer_state)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _eval_step_jit(self, state: TrainState, batch, lpips_params,
+                       rng: jax.Array, deformer_state: DeformerState):
         """Posterior-mode eval with the reference's full metric set
         (PSNR + masked PSNR + SSIM + LPIPS, core/loss/eval.py:67-84;
         the LPIPS backbone follows cfg.eval_lpips_net — "alex" matches the
@@ -420,9 +461,10 @@ class VAETrainer:
         axes = self._axes()
         use_axis = self.spmd == "shard_map"
 
-        def local_step(state, batch, lpips_params, rng):
+        def local_step(state, batch, lpips_params, rng, deformer_state):
             outputs, _ = self.forward(state.params, batch, rng,
-                                      sample_posterior=False)
+                                      sample_posterior=False,
+                                      deformer_state=deformer_state)
             outputs.pop("overflow")
             pred, gt = outputs["images_pred"], outputs["images_gt"]
             mask = outputs["masks_gt"]
@@ -457,16 +499,17 @@ class VAETrainer:
             return metrics, outputs
 
         if not use_axis:
-            return local_step(state, batch, lpips_params, rng)
+            return local_step(state, batch, lpips_params, rng,
+                              deformer_state)
         out_view = batch_spec("images_output", self.mesh)  # [B,V,...] keys
         fn = jax.shard_map(
             local_step, mesh=self.mesh,
-            in_specs=(P(), batch_specs(batch, self.mesh), P(), P()),
+            in_specs=(P(), batch_specs(batch, self.mesh), P(), P(), P()),
             out_specs=(P(), {"images_pred": out_view, "alphas_pred": out_view,
                              "images_gt": out_view, "masks_gt": out_view}),
             check_vma=False,
         )
-        return fn(state, batch, lpips_params, rng)
+        return fn(state, batch, lpips_params, rng, deformer_state)
 
     # ------------------------------------------------------------------ fit
 
