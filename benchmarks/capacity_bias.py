@@ -88,6 +88,16 @@ def main():
 
     key = jax.random.PRNGKey(0)
     state, lpips_params = tr_a.init_state(key)
+    # the grad graph peaks ~13 GB (compile-time estimate); the full
+    # TrainState's Adam moments (~2x params, unused here) sitting in HBM
+    # tip it into runtime OOM on a 16 GB chip — keep only what the loss
+    # closure reads and free the rest before dispatch
+    params, logvar = state.params, state.logvar
+    disc_params, step = state.disc_params, state.step
+    for leaf in jax.tree.leaves((state.opt_state_g, state.opt_state_d)):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+    del state
 
     B, V, H = args.batch, base.num_input_views, base.input_size
     rng = np.random.default_rng(0)
@@ -129,8 +139,8 @@ def main():
             )
             return loss, jnp.sum(overflow)
         g, ov = jax.jit(jax.grad(loss_fn, has_aux=True))(
-            (state.params, state.logvar), batch, state.step,
-            lpips_params, state.disc_params, trainer.deformer_state)
+            (params, logvar), batch, step,
+            lpips_params, disc_params, trainer.deformer_state)
         return jax.tree.map(np.asarray, g), float(ov)
 
     which = args.config or "default"
