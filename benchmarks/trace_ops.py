@@ -73,6 +73,11 @@ def main():
     pvb = os.environ.get("PROF_PER_VIEW")
     if pvb is not None:
         cfg = cfg._replace(per_view_budget=pvb == "1")
+    if os.environ.get("PROF_COMPACT") == "1":
+        cfg = cfg._replace(compact_sort=True)
+    pbf = os.environ.get("PROF_BUDGET")
+    if pbf is not None:
+        cfg = cfg._replace(pair_budget_factor=int(pbf))
     means = jnp.asarray(g["means3d"])
     colors = jnp.asarray(g["colors"])
     opa = jnp.asarray(g["opacity"])
