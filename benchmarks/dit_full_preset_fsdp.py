@@ -109,14 +109,18 @@ def main():
     batch = jax.device_put(
         batch, NamedSharding(mesh, P("data")))
 
-    p_before = float(jnp.sum(jnp.abs(
-        jax.tree.leaves(state.params)[0].astype(jnp.float32))))
+    def param_abs_sum(params):
+        # global over the WHOLE tree: a single sampled leaf can be
+        # grad-free at reduced sequence length (masked/unused slice)
+        return float(sum(jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                         for x in jax.tree.leaves(params)))
+
+    p_before = param_abs_sum(state.params)
     t0 = time.time()
     state, logs = trainer.train_step(state, batch, key)
     jax.block_until_ready(state.params)
     step_s = time.time() - t0
-    p_after = float(jnp.sum(jnp.abs(
-        jax.tree.leaves(state.params)[0].astype(jnp.float32))))
+    p_after = param_abs_sum(state.params)
     loss = float(logs["loss"])
 
     ok = (np.isfinite(loss) and p_after != p_before
