@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--pair_budget_factor", type=int, default=None)
     ap.add_argument("--big_win", type=int, default=None)
     ap.add_argument("--max_tiles", type=int, default=None)
-    ap.add_argument("--remat", choices=["block", "conv", "none"],
+    ap.add_argument("--remat", choices=["block", "conv", "conv_enc", "none"],
                     default=None, help="VAE conv-stack remat policy A/B")
     args = ap.parse_args()
 

@@ -119,7 +119,10 @@ class Config:
     # VAE conv-stack remat: "block" (per-resnet full remat — reference
     # gradient_checkpointing semantics), "conv" (save conv outputs,
     # recompute only GN/SiLU — skips the conv recompute for ~3x the saved
-    # activation bytes), "none" (OOMs 16 GB at vae_b 512^2)
+    # activation bytes; OOMs 16 GB by ~80 MB at vae_b B=1 V=10),
+    # "conv_enc" (conv on the 3D encoder / block on the 2D decoder — the
+    # single-chip sweet spot, A/B'd in BENCH_r05_train.json),
+    # "none" (OOMs 16 GB at vae_b 512^2)
     remat_policy: str = "block"
     seed: int = 0
     save_ckpt_steps: int = 200

@@ -92,6 +92,14 @@ def _resnet_for(mode: str):
       recomputes only GN/SiLU (VPU-cheap); ~3x the saved bytes of "block"
       on the conv stack, in exchange for skipping the conv recompute,
     * "none"  — no remat (OOMs a 16 GB chip at vae_b 512^2 scale).
+
+    The Config-level policy "conv_enc" (round 5) maps to "conv" on the 3D
+    encoder and "block" on the 2D decoder: whole-model "conv" misses the
+    16 GB chip by ~80 MB at vae_b B=1 V=10 (the decoder's 512^2 x 512ch
+    f32 saved activations, plus a pathologically-padded assemble-transpose
+    copy the layout assigner emits under that pressure), while the encoder
+    is where the conv recompute actually costs (round-4 table: encoder
+    534 ms vs decoder 319 ms of the 1.13 s G step).
     """
     if mode == "none":
         return ResnetBlock
@@ -100,6 +108,13 @@ def _resnet_for(mode: str):
         return nn.remat(ResnetBlock, policy=policy)
     assert mode == "block", f"unknown remat_policy {mode!r}"
     return nn.remat(ResnetBlock)
+
+
+def _stack_modes(policy: str):
+    """Config.remat_policy -> (encoder_mode, decoder_mode)."""
+    if policy == "conv_enc":
+        return "conv", "block"
+    return policy, policy
 
 
 class Downsample2D(nn.Module):
@@ -357,8 +372,9 @@ class ConvVAE(nn.Module):
 
     def setup(self):
         c = self.cfg
+        enc_mode, dec_mode = _stack_modes(c.remat_policy)
         self.encoder = Encoder3D(block_channels=c.encoder_channels,
-                                 remat_mode=c.remat_policy,
+                                 remat_mode=enc_mode,
                                  name="encoder")
         d = c.encoder_channels[-1]
         self.h = self.w = c.uv_query_size
@@ -394,7 +410,7 @@ class ConvVAE(nn.Module):
         self.projection = nn.Dense(2 * c.latent_channels, name="projection")
         self.decoder = Decoder2D(out_channels=c.vae_out_channels,
                                  block_channels=c.decoder_channels,
-                                 remat_mode=c.remat_policy,
+                                 remat_mode=dec_mode,
                                  name="decoder")
 
     def encode(self, x, initial_uv, train: bool = False) -> DiagonalGaussian:

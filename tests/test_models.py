@@ -226,7 +226,7 @@ def test_remat_policy_pure_scheduling(vae_setup):
         return np.asarray(val), grads
 
     v_block, g_block = run("block")
-    for policy in ("conv", "none"):
+    for policy in ("conv", "conv_enc", "none"):
         v, g = run(policy)
         np.testing.assert_array_equal(v, v_block)
         jax.tree.map(
